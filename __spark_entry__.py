@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship: full parse→route→aggregate main-ops rollup at sf0.001
+queries()      — one entry per implemented operator (SURVEY.md §2)
+oracle_sql()   — equivalent DuckDB SQL per query
+
+The log-pipeline queries run over the deterministic synthetic `pages` table
+(BASELINE.json input_hint), generated once per scale factor and cached under
+data/pages/ so the Spark query and the DuckDB oracle read identical parquet
+bytes. Importing this module ensures the sf=0.01 table exists for the
+driver's oracle run.
 """
 
 from __future__ import annotations
@@ -13,26 +17,30 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from mongo_log_parser_spark.contracts import log_oracle
+from mongo_log_parser_spark.contracts.log_queries import LOG_QUERIES
+from mongo_log_parser_spark.operators import aggregates, route
+from mongo_log_parser_spark.sources import datagen
+
+# the driver runs oracle SQL against fixed paths — make sure they exist
+datagen.ensure_pages(0.01)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: end-to-end parse → route → A1 main-ops aggregate."""
+    pages = spark.read.parquet(datagen.ensure_pages(0.001))
+    streams = route.split_streams(pages)
+    return aggregates.main_ops(streams["ops"])
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    out.update(LOG_QUERIES)
+    return out
 
 
-def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+def oracle_sql(sf: float = 0.01) -> dict[str, str]:
+    datagen.ensure_pages(sf)
+    out: dict[str, str] = {}
+    out.update(log_oracle.oracles(sf))
+    return out

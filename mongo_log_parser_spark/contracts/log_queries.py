@@ -1,0 +1,161 @@
+"""Driver-contract Spark queries for the log pipeline (pages table).
+
+Each function takes (spark, sf_dir) and returns a DataFrame whose column
+names/values match the corresponding DuckDB oracle in log_oracle.py.
+
+sf_dir (e.g. /root/testdata/sf0.01) selects the scale factor; the pages
+table itself is the deterministic synthetic table from sources/datagen.py
+(BASELINE.json input_hint), generated on first use and cached on disk so the
+oracle reads the identical parquet bytes.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import aggregates as agg
+from ..operators import joins, route
+from ..plans import pipeline
+from ..sources import datagen
+
+
+def sf_from_dir(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.01
+
+
+def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(datagen.ensure_pages(sf_from_dir(sf_dir)))
+
+
+def _streams(spark: SparkSession, sf_dir: str):
+    return route.split_streams(_pages(spark, sf_dir))
+
+
+def _round_p95(df: DataFrame) -> DataFrame:
+    for c in df.columns:
+        if c.startswith("p95"):
+            df = df.withColumn(c, F.round(F.col(c), 4))
+    return df
+
+
+def q_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _streams(spark, sf_dir)
+    counts = [
+        s["oversized"].select(F.lit("oversized").alias("stream")),
+        s["ignored"].select(F.lit("ignored").alias("stream")),
+        s["kept"].select(F.lit("kept").alias("stream")),
+    ]
+    u = counts[0].unionByName(counts[1]).unionByName(counts[2])
+    return u.groupBy("stream").agg(F.count(F.lit(1)).alias("count"))
+
+
+def q_ignored_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg.ignored_stats(_streams(spark, sf_dir)["ignored"])
+
+
+def q_parsed_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level parse parity: the SlowQuery analog per url."""
+    ops = _streams(spark, sf_dir)["ops"]
+    return ops.select(
+        "url", "db", "coll", "op", "op_stat", "branch",
+        F.col("ns_pass").alias("ns_pass"),
+        "duration_ms", "keys_examined", "docs_examined", "nreturned", "reslen",
+        "bytes_read", "bytes_written", "write_conflicts", "n_shards",
+        "query_hash", "plan_cache_key", "plan_summary", "planning_us",
+        "replanned", "replan_reason", "from_multi_planner",
+        "app_name", "read_pref", "read_pref_tags", "node_type",
+        "raw_filter", "is_error", "is_change_stream",
+    )
+
+
+def q_main_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _round_p95(agg.main_ops(_streams(spark, sf_dir)["ops"]))
+
+
+def q_ttl_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg.ttl_ops(_streams(spark, sf_dir)["ttl_pre"])
+
+
+def q_op_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg.op_stats(_streams(spark, sf_dir)["ops"])
+
+
+def q_query_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _round_p95(agg.query_hash(_streams(spark, sf_dir)["ops"]))
+
+
+def q_plan_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _round_p95(agg.plan_cache(_streams(spark, sf_dir)["ops"]))
+
+
+def q_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _round_p95(agg.index_stats(_streams(spark, sf_dir)["ops"]))
+
+
+def q_error_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg.error_codes(_streams(spark, sf_dir)["errors"])
+
+
+def q_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg.transactions(_streams(spark, sf_dir)["transactions"])
+
+
+def q_slow_planning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg.slow_planning(_streams(spark, sf_dir)["ops"])
+
+
+def q_app_conn_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg.app_conn_stats(_streams(spark, sf_dir)["ops"])
+
+
+def q_conn_lifetimes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return joins.conn_lifetimes(_streams(spark, sf_dir)["conn_lifecycle"]).select(
+        "conn_id", "start_ms", "end_ms", "lifetime_ms"
+    )
+
+
+def q_driver_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _streams(spark, sf_dir)
+    df = joins.driver_stats(s["client_metadata"], s["auth"], s["conn_lifecycle"])
+    return df.drop("sample_metadata_line", "sample_auth_line")
+
+
+def q_ts_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg.timestamp_range(_streams(spark, sf_dir)["kept"])
+
+
+def q_enrich_site_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast lookup enrich: pages per (site_class, locale)."""
+    spark_pages = _pages(spark, sf_dir)
+    ll = pipeline.read_lookup(spark, "lang_locale")
+    hc = pipeline.read_lookup(spark, "host_class")
+    enriched = joins.enrich_pages(spark_pages, ll, hc)
+    return enriched.groupBy(
+        F.coalesce("site_class", F.lit("UNKNOWN")).alias("site_class"),
+        F.coalesce("locale", F.lit("UNKNOWN")).alias("locale"),
+    ).agg(F.count(F.lit(1)).alias("count"))
+
+
+LOG_QUERIES = {
+    "log_route_counts": q_route_counts,
+    "log_ignored_categories": q_ignored_categories,
+    "log_parsed_ops": q_parsed_ops,
+    "log_main_ops": q_main_ops,
+    "log_ttl_ops": q_ttl_ops,
+    "log_op_stats": q_op_stats,
+    "log_query_hash": q_query_hash,
+    "log_plan_cache": q_plan_cache,
+    "log_index_stats": q_index_stats,
+    "log_error_codes": q_error_codes,
+    "log_transactions": q_transactions,
+    "log_slow_planning": q_slow_planning,
+    "log_app_conn_stats": q_app_conn_stats,
+    "log_conn_lifetimes": q_conn_lifetimes,
+    "log_driver_stats": q_driver_stats,
+    "log_ts_range": q_ts_range,
+    "log_enrich_site_class": q_enrich_site_class,
+}

@@ -1,0 +1,338 @@
+"""A1-A12 — the aggregate stage.
+
+Each reference accumulator (synchronized HashMap mutated row-at-a-time) becomes
+one Catalyst hash aggregate with partial+final phases — the distributed
+generalization of the reference's per-thread partial counters (SURVEY.md §4 O5).
+
+Fidelity rules reproduced exactly (SURVEY.md §7.3):
+- `count` counts rows with non-null duration (addExecution is the only
+  count++ site, LogLineAccumulator.java:62-77).
+- averages are integer division floor(sum/count) — NOT avg()
+  (LogLineAccumulator.java:166-168).
+- docsExamined sums only when keysExamined is non-null (addExamined gate,
+  Accumulator.java:134-136).
+- p95 uses exact `percentile` (the reference's first-10k-arrivals cap is an
+  order-dependent artifact we deliberately do not copy; equal at <10k/group).
+- first/last/argmax are made deterministic with min_by/max_by over (ts, url)
+  — the reference is thread-race nondeterministic here (SURVEY.md §7.3.4).
+
+Map-valued sub-counts (replan reasons, read-pref modes/tags) are encoded as
+sorted `k=v` strings joined by `|` so they are portable to the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _fdiv(total: Column, cnt: Column) -> Column:
+    """floor(total/cnt) with 0 on empty — Java long division on non-negatives."""
+    return F.coalesce(F.floor(total / cnt), F.lit(0)).cast("long")
+
+
+def _z(col: Column) -> Column:
+    return F.coalesce(col, F.lit(0)).cast("long")
+
+
+# Composite VARCHAR sort keys — identical lexicographic semantics in Spark and
+# DuckDB, replacing the reference's arrival-order nondeterminism. ts_str is the
+# fixed-width ISO-8601 $date string, so string order == event order.
+ARRIVAL_KEY = "concat(ts_str, url)"
+SLOWEST_KEY = "concat(lpad(cast(duration_ms as string), 20, '0'), url)"
+
+
+def _first_by_arrival(value: str) -> Column:
+    return F.expr(f"min_by({value}, {ARRIVAL_KEY}) FILTER (WHERE {value} IS NOT NULL)")
+
+
+def _last_by_arrival(value: str) -> Column:
+    return F.expr(f"max_by({value}, {ARRIVAL_KEY}) FILTER (WHERE {value} IS NOT NULL)")
+
+
+def _sample_slowest(value: str = "text") -> Column:
+    """argmax by (duration, url) — deterministic version of
+    LogLineAccumulator.addSampleLogMessage (294-300)."""
+    return F.expr(f"max_by({value}, {SLOWEST_KEY}) FILTER (WHERE duration_ms IS NOT NULL)")
+
+
+def main_ops(ops: DataFrame) -> DataFrame:
+    """A1 — (db, coll, op, app_name) main-operation rollup
+    (Accumulator.java:90-154; LogLineAccumulator.java)."""
+    g = ops.filter("ns_pass").groupBy("db", "coll", "op", "app_name")
+    cnt = F.count("duration_ms")
+    agg = g.agg(
+        cnt.alias("count"),
+        _z(F.min("duration_ms")).alias("min_ms"),
+        _z(F.max("duration_ms")).alias("max_ms"),
+        _fdiv(F.sum("duration_ms"), cnt).alias("avg_ms"),
+        F.coalesce(F.expr("percentile(duration_ms, 0.95)"), F.lit(0.0)).alias("p95_ms"),
+        _z(F.sum("keys_examined")).alias("total_keys"),
+        # docs gated on keys non-null (Accumulator.java:134-136)
+        _z(F.sum(F.when(F.col("keys_examined").isNotNull(), F.col("docs_examined")))).alias("total_docs"),
+        _z(F.sum("nreturned")).alias("total_returned"),
+        _z(F.sum("reslen")).alias("total_reslen"),
+        _z(F.sum("bytes_read")).alias("total_bytes_read"),
+        _z(F.sum("bytes_written")).alias("total_bytes_written"),
+        _z(F.sum("write_conflicts")).alias("total_write_conflicts"),
+        _z(F.sum("n_shards")).alias("total_shards"),
+        F.sum(F.col("is_error").cast("long")).alias("error_count"),
+        F.max(F.col("is_change_stream")).alias("is_change_stream"),
+        _sample_slowest().alias("sample_line"),
+    )
+    return agg.withColumns(
+        {
+            "avg_keys": _fdiv(F.col("total_keys"), F.col("count")),
+            "avg_docs": _fdiv(F.col("total_docs"), F.col("count")),
+            "avg_returned": _fdiv(F.col("total_returned"), F.col("count")),
+            "avg_shards": _fdiv(F.col("total_shards"), F.col("count")),
+            # scanned:returned ratio, LogLineAccumulator.java:190-195
+            "ex_ret_ratio": F.when(
+                F.col("total_returned") > 0, F.floor(F.col("total_docs") / F.col("total_returned"))
+            ).otherwise(F.lit(0)).cast("long"),
+        }
+    )
+
+
+def ttl_ops(ttl_pre: DataFrame) -> DataFrame:
+    """A2 — TTL pre-pass rollup (LogParser.java:938-970, report math 1082-1133).
+
+    total_deleted reproduces the reference's deliberately lossy
+    `avgReturned * count` (LogParser.java:1123)."""
+    cnt = F.count("duration_ms")
+    agg = ttl_pre.groupBy("db", "coll").agg(
+        cnt.alias("count"),
+        _z(F.min("duration_ms")).alias("min_ms"),
+        _z(F.max("duration_ms")).alias("max_ms"),
+        _fdiv(F.sum("duration_ms"), cnt).alias("avg_ms"),
+        _fdiv(F.sum("num_deleted"), cnt).alias("avg_deleted"),
+    )
+    return agg.withColumn("total_deleted", F.col("avg_deleted") * F.col("count"))
+
+
+def op_stats(dispatched: DataFrame) -> DataFrame:
+    """A3 — operation-type counters (LogParserTask.incrementOperationStat).
+
+    Counting rules differ per branch in the reference:
+    - command-branch stats increment AFTER the namespace filter
+      (LogParserTask.java:264-344: filter at 291, stat inside dispatch at 802+)
+    - WRITE/INDEX-branch stats increment BEFORE it (731-778, 960-981)
+    - every INDEX row that passes the filter ALSO increments "index_operation"
+      (LogParserTask.java:198)
+    """
+    eligible = dispatched.filter(
+        (F.col("branch") != "command") | F.col("ns_pass")
+    )
+    stats = F.array_compact(
+        F.array(
+            F.col("op_stat"),
+            F.when((F.col("branch") == "index") & F.col("ns_pass"), F.lit("index_operation")),
+        )
+    )
+    return (
+        eligible.select(F.explode(stats).alias("op_stat"))
+        .groupBy("op_stat")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+def _kv_string(df: DataFrame, keys: list[str], sub_key: Column, alias: str) -> DataFrame:
+    """Portable map-of-counts: secondary groupBy → sorted `k=v` joined by `|`."""
+    sub = (
+        df.filter(sub_key.isNotNull())
+        .groupBy(*keys, sub_key.alias("_k"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .groupBy(*keys)
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_list(F.concat(F.col("_k"), F.lit("="), F.col("_n")))), "|"
+            ).alias(alias)
+        )
+    )
+    return sub
+
+
+def query_hash(ops: DataFrame) -> DataFrame:
+    """A4 — (query_hash, ns, op) rollup (QueryHashAccumulator.java:29-47,
+    QueryHashAccumulatorEntry.java:84-216). Null hashes dropped."""
+    src = ops.filter("ns_pass").filter(F.col("query_hash").isNotNull()).withColumn(
+        "ns", F.concat_ws(".", "db", "coll")
+    )
+    keys = ["query_hash", "ns", "op"]
+    cnt = F.count("duration_ms")
+    pcnt = F.count("planning_us")
+    base = src.groupBy(*keys).agg(
+        cnt.alias("count"),
+        _z(F.min("duration_ms")).alias("min_ms"),
+        _z(F.max("duration_ms")).alias("max_ms"),
+        _fdiv(F.sum("duration_ms"), cnt).alias("avg_ms"),
+        F.coalesce(F.expr("percentile(duration_ms, 0.95)"), F.lit(0.0)).alias("p95_ms"),
+        _z(F.sum("keys_examined")).alias("total_keys"),
+        _z(F.sum("docs_examined")).alias("total_docs"),
+        _z(F.sum("nreturned")).alias("total_returned"),
+        _z(F.sum("reslen")).alias("total_reslen"),
+        _z(F.sum("bytes_read")).alias("total_bytes_read"),
+        _z(F.sum("bytes_written")).alias("total_bytes_written"),
+        _z(F.sum("n_shards")).alias("total_shards"),
+        pcnt.alias("planning_count"),
+        _z(F.min("planning_us")).alias("min_planning_us"),
+        _z(F.max("planning_us")).alias("max_planning_us"),
+        _fdiv(F.sum("planning_us"), pcnt).alias("avg_planning_us"),
+        F.sum(F.when(F.col("replanned"), 1).otherwise(0)).alias("replanned_count"),
+        F.sum(F.when(F.col("from_multi_planner"), 1).otherwise(0)).alias("multi_planner_count"),
+        _last_by_arrival("plan_summary").alias("plan_summary"),
+        _first_by_arrival("app_name").alias("app_name"),
+        _first_by_arrival("raw_filter").alias("sanitized_query"),
+        _sample_slowest().alias("sample_line"),
+    )
+    replans = _kv_string(
+        src.filter(F.col("replanned") & F.col("replan_reason").isNotNull()),
+        keys, F.col("replan_reason"), "replan_reasons",
+    )
+    # read-pref mode: null/empty → "default" (QueryHashAccumulatorEntry.java:192-197)
+    rp = _kv_string(
+        src.withColumn(
+            "_rp",
+            F.when(F.col("read_pref").isNotNull() & (F.col("read_pref") != ""), F.col("read_pref")).otherwise("default"),
+        ),
+        keys, F.col("_rp"), "read_pref_counts",
+    )
+    tags = _kv_string(
+        src.filter(F.col("read_pref_tags").isNotNull() & (F.col("read_pref_tags") != "")),
+        keys, F.col("read_pref_tags"), "read_pref_tags_counts",
+    )
+    out = (
+        base.join(replans, keys, "left")
+        .join(rp, keys, "left")
+        .join(tags, keys, "left")
+        .fillna({"replan_reasons": "", "read_pref_counts": "", "read_pref_tags_counts": ""})
+    )
+    return out
+
+
+def plan_cache(ops: DataFrame) -> DataFrame:
+    """A5 — (ns, op, query_hash, plan_summary) plan-cache rollup; requires
+    planCacheKey AND planSummary (PlanCacheAccumulator.java:32-51)."""
+    src = (
+        ops.filter("ns_pass")
+        .filter(F.col("plan_cache_key").isNotNull() & F.col("plan_summary").isNotNull())
+        .withColumn("ns", F.concat_ws(".", "db", "coll"))
+    )
+    cnt = F.count("duration_ms")
+    return src.groupBy("ns", "op", "query_hash", "plan_summary").agg(
+        cnt.alias("count"),
+        _z(F.min("duration_ms")).alias("min_ms"),
+        _z(F.max("duration_ms")).alias("max_ms"),
+        _fdiv(F.sum("duration_ms"), cnt).alias("avg_ms"),
+        F.coalesce(F.expr("percentile(duration_ms, 0.95)"), F.lit(0.0)).alias("p95_ms"),
+        _z(F.sum("keys_examined")).alias("total_keys"),
+        _z(F.sum("docs_examined")).alias("total_docs"),
+        _z(F.sum("nreturned")).alias("total_returned"),
+        F.max(F.col("plan_summary").contains("COLLSCAN")).alias("is_collscan"),
+        _sample_slowest().alias("sample_line"),
+    )
+
+
+def index_stats(ops: DataFrame) -> DataFrame:
+    """A6 — (ns, plan_summary) index-usage rollup; requires ns AND planSummary
+    (IndexStatsAccumulator.java:15-39, IndexStatsEntry.java:31-110)."""
+    src = (
+        ops.filter("ns_pass")
+        .filter(F.col("plan_summary").isNotNull())
+        .withColumn("ns", F.concat_ws(".", "db", "coll"))
+    )
+    cnt = F.count("duration_ms")
+    agg = src.groupBy("ns", "plan_summary").agg(
+        cnt.alias("count"),
+        _z(F.min("duration_ms")).alias("min_ms"),
+        F.coalesce(F.max("duration_ms"), F.lit(0)).alias("max_ms"),
+        _fdiv(F.sum("duration_ms"), cnt).alias("avg_ms"),
+        F.coalesce(F.expr("percentile(duration_ms, 0.95)"), F.lit(0.0)).alias("p95_ms"),
+        _z(F.sum("keys_examined")).alias("total_keys"),
+        _z(F.sum("docs_examined")).alias("total_docs"),
+        _z(F.sum("nreturned")).alias("total_returned"),
+    )
+    return agg.withColumns(
+        {
+            "avg_keys": _fdiv(F.col("total_keys"), F.col("count")),
+            "avg_docs": _fdiv(F.col("total_docs"), F.col("count")),
+            "avg_returned": _fdiv(F.col("total_returned"), F.col("count")),
+            # (keys+docs)/returned, IndexStatsEntry.java:107-109
+            "examined_returned_ratio": F.when(
+                F.col("total_returned") > 0,
+                F.floor((F.col("total_keys") + F.col("total_docs")) / F.col("total_returned")),
+            ).otherwise(F.lit(0)).cast("long"),
+            "is_collscan": F.col("plan_summary").contains("COLLSCAN"),
+        }
+    )
+
+
+def error_codes(errors: DataFrame) -> DataFrame:
+    """A7 — per-codeName counts (ErrorCodeAccumulator.java:24-44)."""
+    return errors.groupBy("code_name").agg(
+        F.count(F.lit(1)).alias("count"),
+        _first_by_arrival("error_code").alias("error_code"),
+        _first_by_arrival("sample_message").alias("sample_message"),
+    )
+
+
+def transactions(txn: DataFrame) -> DataFrame:
+    """A8 — (retry, cause, commitType) rollup (TransactionAccumulator.java:27-41,
+    TransactionEntry.java:39-133)."""
+    dcnt = F.count("duration_ms")
+    return txn.groupBy("txn_retry_counter", "termination_cause", "commit_type").agg(
+        F.count(F.lit(1)).alias("count"),
+        _z(F.min("duration_ms")).alias("min_ms"),
+        _z(F.max("duration_ms")).alias("max_ms"),
+        _fdiv(F.sum("duration_ms"), dcnt).alias("avg_ms"),
+        _z(F.max("commit_ms")).alias("max_commit_ms"),
+        _fdiv(F.sum("commit_ms"), F.count("commit_ms")).alias("avg_commit_ms"),
+        _z(F.max("active_ms")).alias("max_active_ms"),
+        _fdiv(F.sum("active_ms"), F.count("active_ms")).alias("avg_active_ms"),
+        _z(F.max("inactive_ms")).alias("max_inactive_ms"),
+        _fdiv(F.sum("inactive_ms"), F.count("inactive_ms")).alias("avg_inactive_ms"),
+    )
+
+
+def slow_planning(ops: DataFrame, k: int = 50) -> DataFrame:
+    """A9 — global top-K by planningTimeMicros (SlowPlanningAccumulator.java:16-58).
+    Catalyst executes this as TakeOrderedAndProject — per-partition top-K then
+    merge, the distributed version of the reference's threshold prune (O7)."""
+    return (
+        ops.filter("ns_pass")
+        .filter(F.col("planning_us").isNotNull())
+        .withColumn("ns", F.concat_ws(".", "db", "coll"))
+        .select("ns", "op", "plan_summary", "planning_us", "raw_filter", "ts_str", "url")
+        .orderBy(F.desc("planning_us"), F.asc("url"))
+        .limit(k)
+    )
+
+
+def app_conn_stats(ops: DataFrame) -> DataFrame:
+    """A10 — distinct conn ids per appName (AppNameConnectionStatsAccumulator).
+
+    Reference quirk reproduced: recordConnection is invoked only from the
+    INDEX and WRITE branches (LogParserTask.java:172, 230) — command-branch
+    operations do NOT contribute. Null appName → "unknown"."""
+    src = (
+        ops.filter("ns_pass")
+        .filter(F.col("branch").isin("index", "write"))
+        .withColumn("conn_id", F.nullif(F.regexp_extract("ctx", r"^conn(\d+)$", 1), F.lit("")).cast("long"))
+        .filter(F.col("conn_id").isNotNull())
+    )
+    return src.groupBy(
+        F.coalesce(F.col("app_name"), F.lit("unknown")).alias("app_name")
+    ).agg(F.countDistinct("conn_id").alias("distinct_connections"))
+
+
+def ignored_stats(ignored: DataFrame) -> DataFrame:
+    """K6 — ignored-line category counts (LogParser.java:972-999)."""
+    return ignored.groupBy("category").agg(F.count(F.lit(1)).alias("count"))
+
+
+def timestamp_range(kept: DataFrame) -> DataFrame:
+    """E15 — global earliest/latest event timestamp (LogParser.java:1183-1192)."""
+    return kept.agg(
+        F.min("ts_str").alias("earliest"), F.max("ts_str").alias("latest"),
+        F.count(F.lit(1)).alias("lines_with_ts"),
+    )
