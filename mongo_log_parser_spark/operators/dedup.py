@@ -1,0 +1,192 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact (hash-groupBy), MinHash+LSH (shingle→minhash→band→bucket-join), SimHash,
+and n-gram Jaccard — all with deterministic, engine-portable hashing so every
+result is verifiable against a DuckDB oracle:
+
+- token/shingle hashes are md5 hex strings (identical in Spark and DuckDB);
+  MinHash minimizes the hex string lexicographically — no integer conversion
+  in the hot path;
+- numeric hashes use the first 8/16 hex chars via conv()/'0x'-cast.
+
+Scale notes (the 100 TB story):
+- exact dedup is one hash-shuffle on md5(text) — AQE handles skew from
+  boilerplate-heavy duplicates;
+- MinHash signatures are a narrow map; the LSH bucket join shuffles only
+  (band_id, band_key) pairs, so shuffle volume is O(docs × bands), not
+  O(docs²); candidate verification joins only within buckets;
+- SimHash is a narrow pandas-UDF map (Arrow-batched) emitting a 64-bit
+  signature; near-dup search buckets by signature prefix.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+N_MINHASHES = 8
+LSH_BANDS = 4  # r = N_MINHASHES / LSH_BANDS = 2 rows per band
+SHINGLE_W = 3
+JACCARD_THRESHOLD = 0.5
+NGRAM_W = 5  # char n-grams for q_ngram_jaccard
+SIMHASH_PREFIX_BITS = 16
+
+
+def tokens_expr(text_col: str = "text"):
+    """Whitespace tokenization — shared definition with the oracle."""
+    return F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+
+
+def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Distinct word-W-gram shingles per doc (docs with ≥W tokens)."""
+    t = docs.select(id_col, tokens_expr(text_col).alias("toks")).filter(
+        F.size("toks") >= SHINGLE_W
+    )
+    idx = F.sequence(F.lit(0), F.size("toks") - SHINGLE_W)
+    sh = t.select(
+        id_col,
+        F.explode(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.col("toks")[i], F.col("toks")[i + 1], F.col("toks")[i + 2]))
+        ).alias("shingle"),
+    )
+    return sh.distinct()
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup: md5-groupBy; keeper = min id per group."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("dup_count"),
+            F.min(id_col).alias("keeper_id"),
+        )
+    )
+
+
+def minhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """MinHash: h_j(doc) = min over shingles of md5(j || ':' || shingle).
+
+    The min is over hex strings (binary collation) — engine-portable."""
+    sh = shingles(docs, id_col, text_col)
+    hashes = [
+        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"h{j}")
+        for j in range(N_MINHASHES)
+    ]
+    sig = sh.groupBy(id_col).agg(*hashes)
+    return sig.withColumn(
+        "signature", F.concat_ws("|", *[F.col(f"h{j}") for j in range(N_MINHASHES)])
+    )
+
+
+def lsh_bands(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Banding: band key = md5(h_{2b} || h_{2b+1}) for b in 0..BANDS-1."""
+    sig = minhash_signatures(docs, id_col, text_col)
+    r = N_MINHASHES // LSH_BANDS
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(F.concat(*[F.col(f"h{b * r + i}") for i in range(r)])).alias("band_key"),
+            )
+            for b in range(LSH_BANDS)
+        ]
+    )
+    return sig.select(id_col, F.explode(bands).alias("band")).select(
+        id_col, "band.band_id", "band.band_key"
+    )
+
+
+def lsh_candidates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Distinct candidate pairs sharing any (band_id, band_key) bucket."""
+    b = lsh_bands(docs, id_col, text_col)
+    left = b.select(F.col(id_col).alias("id_a"), "band_id", "band_key")
+    right = b.select(F.col(id_col).alias("id_b"), "band_id", "band_key")
+    pairs = left.join(right, ["band_id", "band_key"]).filter(F.col("id_a") < F.col("id_b"))
+    return pairs.select("id_a", "id_b").distinct()
+
+
+def neardup_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                  threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    """MinHash-LSH candidates verified with exact shingle Jaccard ≥ threshold."""
+    sh = shingles(docs, id_col, text_col)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    cand = lsh_candidates(docs, id_col, text_col)
+    inter = (
+        cand.join(sh.select(F.col(id_col).alias("id_a"), "shingle"), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), F.col("shingle").alias("shingle_b")), "id_b")
+        .filter(F.col("shingle") == F.col("shingle_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+        .withColumn("jaccard", F.round(F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "inter", "n_a", "n_b", "jaccard")
+    )
+    return out
+
+
+def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                        n: int = NGRAM_W) -> DataFrame:
+    """Char n-gram Jaccard over the LSH candidate pairs (distinct n-grams of
+    the first 200 lowercased chars)."""
+    grams = docs.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.length(F.substring(F.lower(text_col), 1, 200)) - n, F.lit(0))),
+                lambda i: F.substring(F.lower(F.col(text_col)), 1, 200).substr(i + 1, F.lit(n)),
+            )
+        ).alias("gram"),
+    ).filter(F.length("gram") == n).distinct()
+    sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_g"))
+    cand = lsh_candidates(docs, id_col, text_col)
+    inter = (
+        cand.join(grams.select(F.col(id_col).alias("id_a"), "gram"), "id_a")
+        .join(grams.select(F.col(id_col).alias("id_b"), F.col("gram").alias("gram_b")), "id_b")
+        .filter(F.col("gram") == F.col("gram_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("n_g").alias("n_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n_g").alias("n_b")), "id_b")
+        .withColumn("jaccard", F.round(F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6))
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ------------------------------------------------------------------ SimHash
+
+def simhash64(text: str) -> str:
+    """64-bit SimHash over whitespace tokens, md5-based, as a 64-char bit
+    string (MSB first) — the exact formula the DuckDB oracle replicates.
+    Tokenization via regex split matches regexp_split_to_array semantics
+    (keeps the single empty token for empty input)."""
+    import re as _re
+
+    toks = _re.split(r"\s+", text.lower().strip())
+    weights = [0] * 64
+    for tok in toks:
+        h = int(hashlib.md5(tok.encode()).hexdigest()[:16], 16)
+        for k in range(64):
+            weights[k] += 1 if (h >> k) & 1 else -1
+    return "".join("1" if weights[k] > 0 else "0" for k in range(63, -1, -1))
+
+
+def simhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """SimHash as an Arrow-batched pandas UDF (the per-row bit math has no
+    efficient relational form); prefix bucket column for near-dup blocking."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(StringType())
+    def simhash_udf(s):
+        return s.map(lambda x: simhash64(x) if isinstance(x, str) else None)
+
+    out = docs.select(id_col, simhash_udf(F.col(text_col)).alias("simhash_bits"))
+    return out.withColumn("bucket", F.substring("simhash_bits", 1, SIMHASH_PREFIX_BITS))

@@ -7,14 +7,13 @@ Splits the pages stream into the reference's routed sub-streams:
   ttl_pre     TTL pre-pass rows — run BEFORE the ignore decision
               (LogParser.java:641-649), so TTLMonitor lines feed the TTL
               accumulator and are *also* counted as ignored
-  kept        parsed lines entering the main pipeline
+  kept        parsed lines entering the main pipeline (flat schema, parse.py)
   errors      error-code side channel (up to 3 records per line)
   transactions, client_metadata, auth, conn_lifecycle
   ops         dispatched main-operation rows (extract.extract_ops)
 
-Each stream is a lazy DataFrame off the same scan; Spark evaluates the cheap
-contains() predicates once per consumed stream — at sink time the whole thing
-is a single pass per sink with the parse amortized by caching (pipeline.py).
+Each stream is a lazy DataFrame off the same scan; pipeline.build persists
+`kept`/`ops` so the Arrow parse runs once per materialization wave.
 """
 
 from __future__ import annotations
@@ -24,7 +23,7 @@ from pyspark.sql import functions as F
 
 from ..functions import prefilter
 from ..functions.extract import extract_ops
-from ..functions.parse import conn_id, parse_lines
+from ..functions.parse import conn_id, ns_coll, ns_db, parse_lines
 
 
 def split_streams(pages: DataFrame) -> dict[str, DataFrame]:
@@ -35,23 +34,25 @@ def split_streams(pages: DataFrame) -> dict[str, DataFrame]:
     ignored = bounded.filter(prefilter.should_ignore(text)).withColumn(
         "category", prefilter.ignored_category(text)
     )
-    kept_raw = bounded.filter(~prefilter.should_ignore(text))
+    # html is never consumed downstream of the router — drop it before the
+    # parse so the (cacheable) parsed stream doesn't carry the binary payload
+    kept_raw = bounded.filter(~prefilter.should_ignore(text)).drop("html")
     kept = parse_lines(kept_raw)
 
     # TTL pre-pass (processTtlOperation, LogParser.java:938-970): parse,
     # require attr.namespace, namespace filter, take numDeleted/durationMillis
-    ttl_raw = bounded.filter(prefilter.is_ttl_line(text))
+    ttl_raw = bounded.filter(prefilter.is_ttl_line(text)).drop("html")
     ttl_parsed = parse_lines(ttl_raw)
     ttl_pre = (
-        ttl_parsed.filter(F.col("a.namespace").isNotNull())
+        ttl_parsed.filter(F.col("a_namespace").isNotNull())
         .select(
-            "url", "warc_ts", "lang", "ts", "text",
-            F.col("a.namespace").alias("ns"),
-            F.col("a.numDeleted").alias("num_deleted"),
-            F.col("a.durationMillis").alias("duration_ms"),
+            "url", "warc_ts", "lang", "ts_str", "text",
+            F.col("a_namespace").alias("ns"),
+            F.col("a_num_deleted").alias("num_deleted"),
+            F.col("a_duration_ms").alias("duration_ms"),
         )
-        .withColumn("db", F.nullif(F.regexp_extract("ns", r"^(.*?)\.(.*)$", 1), F.lit("")))
-        .withColumn("coll", F.nullif(F.regexp_extract("ns", r"^(.*?)\.(.*)$", 2), F.lit("")))
+        .withColumn("db", ns_db(F.col("ns")))
+        .withColumn("coll", ns_coll(F.col("ns")))
         .filter(F.col("db").isNull() | (F.col("db") != "config"))
     )
 
@@ -75,27 +76,29 @@ def error_records(kept: DataFrame) -> DataFrame:
     One input line can emit up to three error records (explicit error object,
     ok:0 top-level, client-disconnect message) → explode an array of candidates.
     """
-    a = F.col("a")
     err_obj = F.when(
-        a["error"].isNotNull() & a["error"]["codeName"].isNotNull(),
+        F.col("has_error_obj") & F.col("err_code_name").isNotNull(),
         F.struct(
-            a["error"]["codeName"].alias("code_name"),
-            a["error"]["code"].alias("error_code"),
-            a["error"]["errmsg"].alias("sample_message"),
+            F.col("err_code_name").alias("code_name"),
+            F.col("err_code").alias("error_code"),
+            F.col("err_errmsg").alias("sample_message"),
         ),
     )
-    ok0_name = F.coalesce(a["errName"], F.when(a["errCode"].isNotNull(), F.concat(F.lit("Error"), a["errCode"])))
+    ok0_name = F.coalesce(
+        F.col("a_err_name_top"),
+        F.when(F.col("a_err_code_top").isNotNull(), F.concat(F.lit("Error"), F.col("a_err_code_top"))),
+    )
     ok0 = F.when(
-        (a["ok"] == 0) & ok0_name.isNotNull(),
+        (F.col("a_ok") == 0) & ok0_name.isNotNull(),
         F.struct(
             ok0_name.alias("code_name"),
-            a["errCode"].alias("error_code"),
-            a["errMsg"].alias("sample_message"),
+            F.col("a_err_code_top").alias("error_code"),
+            F.col("a_err_msg_top").alias("sample_message"),
         ),
     )
     disc_msg = F.concat(
         F.lit("Interrupted operation as its client disconnected"),
-        F.coalesce(F.concat(F.lit(" (opId: "), a["opId"].cast("string"), F.lit(")")), F.lit("")),
+        F.coalesce(F.concat(F.lit(" (opId: "), F.col("a_opid").cast("string"), F.lit(")")), F.lit("")),
     )
     disconnect = F.when(
         F.col("msg") == "Interrupted operation as its client disconnected",
@@ -107,7 +110,7 @@ def error_records(kept: DataFrame) -> DataFrame:
     )
     recs = F.array_compact(F.array(err_obj, ok0, disconnect))
     return (
-        kept.filter(a.isNotNull())
+        kept.filter(F.col("has_attr"))
         .select("url", "ts_str", F.explode(recs).alias("e"))
         .select("url", "ts_str", "e.code_name", "e.error_code", "e.sample_message")
     )
@@ -118,19 +121,18 @@ def transaction_records(kept: DataFrame) -> DataFrame:
 
     µs→ms conversion is Math.round(x/1000.0) per-row BEFORE aggregation
     (TransactionEntry.java:56-87) — reproduced as floor(x/1000 + 0.5)."""
-    a = F.col("a")
     ms = lambda c: F.when(c.isNotNull(), F.floor(c / 1000.0 + 0.5)).cast("long")  # noqa: E731
     rows = kept.filter(
-        (F.col("comp") == "TXN") & (F.col("msg") == "transaction") & a.isNotNull()
+        (F.col("comp") == "TXN") & (F.col("msg") == "transaction") & F.col("has_attr")
     ).select(
-        "url", "ts",
-        a["parameters"]["txnRetryCounter"].alias("txn_retry_counter"),
-        a["terminationCause"].alias("termination_cause"),
-        a["commitType"].alias("commit_type"),
-        a["durationMillis"].alias("duration_ms"),
-        ms(a["commitDurationMicros"]).alias("commit_ms"),
-        ms(a["timeActiveMicros"]).alias("active_ms"),
-        ms(a["timeInactiveMicros"]).alias("inactive_ms"),
+        "url", "ts_str",
+        F.col("a_txn_retry_counter").alias("txn_retry_counter"),
+        F.col("a_termination_cause").alias("termination_cause"),
+        F.col("a_commit_type").alias("commit_type"),
+        F.col("a_duration_ms").alias("duration_ms"),
+        ms(F.col("a_commit_micros")).alias("commit_ms"),
+        ms(F.col("a_active_micros")).alias("active_ms"),
+        ms(F.col("a_inactive_micros")).alias("inactive_ms"),
     )
     # "at least one meaningful field" gate (LogParserTask.java:1163-1166)
     return rows.filter(
@@ -143,22 +145,16 @@ def transaction_records(kept: DataFrame) -> DataFrame:
 
 def client_metadata_records(kept: DataFrame) -> DataFrame:
     """A11 probe side — processClientMetadata (LogParserTask.java:1225-1320)."""
-    a = F.col("a")
     rows = kept.filter(
-        (F.col("comp") == "NETWORK") & (F.col("msg") == "client metadata") & a.isNotNull()
+        (F.col("comp") == "NETWORK") & (F.col("msg") == "client metadata") & F.col("has_attr")
     ).select(
-        "url", "ts_str",
-        F.col("ctx"),
+        "url", "ts_str", "ctx",
         conn_id(F.col("ctx")).alias("conn_id"),
-        a["remote"].alias("remote"),
-        a["doc"]["driver"]["name"].alias("driver"),
-        a["doc"]["driver"]["version"].alias("version"),
-        a["doc"]["os"]["type"].alias("os_type"),
-        a["doc"]["os"]["name"].alias("os_name"),
-        a["doc"]["platform"].alias("platform"),
-        F.coalesce(
-            F.array_join(F.array_sort(a["negotiatedCompressors"]), ","), F.lit("")
-        ).alias("compressors"),
+        F.col("a_remote").alias("remote"),
+        F.col("drv_name").alias("driver"),
+        F.col("drv_version").alias("version"),
+        "os_type", "os_name", "platform",
+        F.coalesce(F.col("compressors"), F.lit("")).alias("compressors"),
         "text",
     )
     # only meaningful driver info accumulates (LogParserTask.java:1297-1303)
@@ -167,17 +163,16 @@ def client_metadata_records(kept: DataFrame) -> DataFrame:
 
 def auth_records(kept: DataFrame) -> DataFrame:
     """J1 build side — processAccessMessage (LogParserTask.java:1182-1223)."""
-    a = F.col("a")
     return (
         kept.filter(
-            (F.col("comp") == "ACCESS") & (F.col("msg") == "Successfully authenticated") & a.isNotNull()
+            (F.col("comp") == "ACCESS") & (F.col("msg") == "Successfully authenticated") & F.col("has_attr")
         )
         .select(
-            "url", "ts_str", F.col("ctx"),
+            "url", "ts_str", "ctx",
             conn_id(F.col("ctx")).alias("conn_id"),
-            a["user"].alias("username"),
-            a["db"].alias("auth_db"),
-            a["mechanism"].alias("mechanism"),
+            F.col("a_user").alias("username"),
+            F.col("a_db").alias("auth_db"),
+            F.col("a_mechanism").alias("mechanism"),
             "text",
         )
         .filter(F.col("ctx").isNotNull() & F.col("username").isNotNull())
@@ -188,18 +183,22 @@ def conn_lifecycle_records(kept: DataFrame) -> DataFrame:
     """J2 source — processConnectionLifecycle (LogParserTask.java:1322-1376).
 
     Emits (conn_id, kind ∈ {start,end}, epoch_ms). The reference requires a
-    parseable $date (timestamp > 0)."""
-    a = F.col("a")
-    epoch_ms = (F.unix_timestamp(F.col("ts")) * 1000 + F.date_format("ts", "SSS").cast("long"))
+    parseable $date (timestamp > 0). The to_timestamp parse happens only on
+    this already-filtered ~4% subset (it costs ~25µs/row — see parse.py)."""
+    ts = F.to_timestamp(F.col("ts_str"))
+    epoch_ms = (F.unix_timestamp(ts) * 1000 + F.date_format(ts, "SSS").cast("long"))
     start = kept.filter(
-        (F.col("msg") == "Connection accepted") & a["connectionId"].isNotNull() & F.col("ts").isNotNull()
-    ).select(
-        "url", a["connectionId"].alias("conn_id"), F.lit("start").alias("kind"), epoch_ms.alias("epoch_ms")
+        (F.col("msg") == "Connection accepted") & F.col("a_connection_id").isNotNull()
+    ).filter(ts.isNotNull()).select(
+        "url", F.col("a_connection_id").alias("conn_id"), F.lit("start").alias("kind"),
+        epoch_ms.alias("epoch_ms"),
     )
     end = kept.filter(
         (F.col("msg") == "Connection ended")
         & F.col("ctx").startswith("conn")
         & conn_id(F.col("ctx")).isNotNull()
-        & F.col("ts").isNotNull()
-    ).select("url", conn_id(F.col("ctx")).alias("conn_id"), F.lit("end").alias("kind"), epoch_ms.alias("epoch_ms"))
+    ).filter(ts.isNotNull()).select(
+        "url", conn_id(F.col("ctx")).alias("conn_id"), F.lit("end").alias("kind"),
+        epoch_ms.alias("epoch_ms"),
+    )
     return start.unionByName(end)

@@ -3,14 +3,22 @@
   scan → prefilter (F1-F4) → vectorized parse (E1-E2) → route (F5-F11)
        → extract (E3-E20) → aggregates (A1-A12) + joins (J1-J3) → sinks
 
-`build()` returns every sink DataFrame lazily off one cached parse — the
-Spark analog of the reference's single file pass feeding nine accumulators.
-Caching the parsed/dispatched intermediates is what keeps this a single scan
-per materialization wave instead of one scan per sink.
+Stage materialization strategy (measured at sf0.1, local[32]):
+  parquet   write `kept` (parsed) and `ops` (dispatched) to parquet and read
+            them back. One Arrow parse total; every downstream consumer reads
+            flat columnar data with pruning/pushdown. 10x faster than Spark's
+            in-memory cache here (InMemoryRelation encode of wide rows was the
+            bottleneck), and it is exactly the stage-checkpoint pattern a
+            100 TB pipeline uses between parse and aggregate waves.
+  memory    .persist(MEMORY_AND_DISK) barriers (kept for comparison).
+  none      fully lazy — right for small interactive/correctness queries.
 """
 
 from __future__ import annotations
 
+import os
+import shutil
+import uuid
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -28,8 +36,6 @@ def read_pages(spark: SparkSession, sf: float | None = None, path: str | None = 
 
 
 def read_lookup(spark: SparkSession, name: str) -> DataFrame:
-    import os
-
     p = datagen.lookup_path(name)
     if not os.path.exists(p):
         datagen.ensure_pages(0.001)  # generates lookups as a side effect
@@ -40,6 +46,7 @@ def read_lookup(spark: SparkSession, name: str) -> DataFrame:
 class PipelineResult:
     streams: dict[str, DataFrame]
     sinks: dict[str, DataFrame] = field(default_factory=dict)
+    workdir: str | None = None
 
     def unpersist(self) -> None:
         for df in self.streams.values():
@@ -47,14 +54,40 @@ class PipelineResult:
                 df.unpersist()
             except Exception:
                 pass
+        if self.workdir:
+            shutil.rmtree(self.workdir, ignore_errors=True)
 
 
-def build(pages: DataFrame, cache: bool = True) -> PipelineResult:
+def build(
+    pages: DataFrame,
+    cache: bool = True,
+    materialize: str = "parquet",
+    workdir: str | None = None,
+) -> PipelineResult:
+    spark = pages.sparkSession
     streams = route.split_streams(pages)
-    if cache:
-        # ops is consumed by 6 aggregates; kept by 5 side channels → cache both.
-        # MEMORY_AND_DISK: at 100 TB the executors spill instead of OOM.
+    if cache and materialize == "parquet":
+        workdir = workdir or os.path.join(
+            datagen.DATA_ROOT, "tmp", f"stage-{uuid.uuid4().hex[:8]}"
+        )
+        for name in ("kept", "ops"):
+            path = os.path.join(workdir, name)
+            streams[name].write.mode("overwrite").parquet(path)
+            streams[name] = spark.read.parquet(path)
+        # re-derive the side channels off the checkpointed parse
+        streams.update(
+            {
+                "errors": route.error_records(streams["kept"]),
+                "transactions": route.transaction_records(streams["kept"]),
+                "client_metadata": route.client_metadata_records(streams["kept"]),
+                "auth": route.auth_records(streams["kept"]),
+                "conn_lifecycle": route.conn_lifecycle_records(streams["kept"]),
+            }
+        )
+    elif cache and materialize == "memory":
+        streams["kept"] = streams["kept"].persist(StorageLevel.MEMORY_AND_DISK)
         streams["ops"] = streams["ops"].persist(StorageLevel.MEMORY_AND_DISK)
+
     sinks = {
         "main_ops": agg.main_ops(streams["ops"]),
         "ttl_ops": agg.ttl_ops(streams["ttl_pre"]),
@@ -71,14 +104,14 @@ def build(pages: DataFrame, cache: bool = True) -> PipelineResult:
         ),
         "ignored": agg.ignored_stats(streams["ignored"]),
     }
-    return PipelineResult(streams=streams, sinks=sinks)
+    return PipelineResult(streams=streams, sinks=sinks, workdir=workdir)
 
 
 def run_metrics(pages: DataFrame) -> dict[str, int]:
     """Scan-level routing metrics (ProcessingStats analog)."""
-    text = F.col("text")
     from ..functions import prefilter
 
+    text = F.col("text")
     row = pages.agg(
         F.count(F.lit(1)).alias("total"),
         F.sum(prefilter.is_oversized(text).cast("long")).alias("oversized"),

@@ -36,6 +36,12 @@ def build_session(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # The extract stage's dispatch projection generates >8 KB of bytecode;
+        # HotSpot never JITs methods above 8000 bytes, so whole-stage codegen
+        # would run *interpreted generated code* (measured 10x slower at 32
+        # threads). Falling back to Catalyst's interpreted expressions (small,
+        # JIT-friendly methods) above this limit restores linear scaling.
+        .config("spark.sql.codegen.hugeMethodLimit", "8000")
         # Arrow boundary for the pandas UDFs (redact/trim, media metadata).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
@@ -44,7 +50,15 @@ def build_session(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # Local-mode split sizing: the synthetic pages table is one modest file;
+        # the default 128 MiB maxPartitionBytes would make it a single input
+        # partition and serialize the parse. On a real cluster reading many
+        # ~128 MiB parquet files this override is unnecessary — tune via env.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(4 * 1024 * 1024)),
+        )
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -1,0 +1,147 @@
+"""K1-K6 + A12 — sink writers and the JSON report.
+
+- CSV sinks: one file per accumulator, rows sorted by count desc — the
+  reference's reportCsv pattern (Accumulator.java:169-177 and the per-
+  accumulator variants, QueryHashAccumulator.java:174-183 etc.)
+- Parquet sinks: the engine-native fan-out (Iceberg-table analog).
+- JSON report: the nested report document with metadata + per-section arrays
+  and the lossy global summaries, mirroring JsonReportGenerator.java:29-375
+  (totalDocsExamined = Σ avg*count is reproduced as-is — a documented
+  reference lossiness, JsonReportGenerator.java:96-106).
+- humanize helpers (E18): formatDuration / formatBytes
+  (LogRedactionUtil.java:515-525, 605-620).
+- detectors (E19/E20): truncation + mongos/mongod source.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SINK_SORT_KEYS = {
+    # every report sorts by count desc (SURVEY.md §2.7)
+    "main_ops": "count", "ttl_ops": "count", "op_stats": "count",
+    "query_hash": "count", "plan_cache": "count", "index_stats": "count",
+    "error_codes": "count", "transactions": "count",
+    "app_conn_stats": "distinct_connections", "driver_stats": "connection_count",
+    "ignored": "count",
+}
+
+
+def _sorted(name: str, df: DataFrame) -> DataFrame:
+    key = SINK_SORT_KEYS.get(name)
+    return df.orderBy(F.desc(key)) if key and key in df.columns else df
+
+
+def write_csv_sinks(sinks: dict[str, DataFrame], out_dir: str) -> None:
+    """K1/K2 — header + rows sorted by count desc, one directory per sink."""
+    for name, df in sinks.items():
+        _sorted(name, df).coalesce(1).write.mode("overwrite").option("header", True).csv(
+            os.path.join(out_dir, f"{name}_csv")
+        )
+
+
+def write_parquet_sinks(sinks: dict[str, DataFrame], out_dir: str) -> None:
+    for name, df in sinks.items():
+        df.write.mode("overwrite").parquet(os.path.join(out_dir, name))
+
+
+def console_report(sinks: dict[str, DataFrame], n: int = 20) -> None:
+    """K5 — fixed-width console tables (Accumulator.report analog)."""
+    for name, df in sinks.items():
+        print(f"=== {name} ===")
+        _sorted(name, df).show(n, truncate=80)
+
+
+def json_report(sinks: dict[str, DataFrame], metadata: dict | None = None,
+                top_query_hashes: int = 100, top_slow_planning: int = 50) -> dict[str, Any]:
+    """K3/A12 — the nested JSON report document (JsonReportGenerator.java:29-89).
+
+    Aggregate DataFrames are small post-groupBy; the collect here is the
+    driver-side report assembly, not a data-path collect."""
+    def rows(name, limit=None, sort=True):
+        df = sinks[name]
+        df = _sorted(name, df) if sort else df
+        if limit:
+            df = df.limit(limit)
+        return [r.asDict(recursive=True) for r in df.collect()]
+
+    main = rows("main_ops")
+    # A12 global summaries — reproducing the reference's lossy totals
+    total_ops = sum(r["count"] for r in main)
+    total_docs_lossy = sum(r["avg_docs"] * r["count"] for r in main)
+    total_returned = sum(r["total_returned"] for r in main)
+    errs = rows("error_codes")
+    idx = rows("index_stats")
+    collscan_ops = sum(r["count"] for r in idx if r.get("is_collscan"))
+    report = {
+        "metadata": metadata or {},
+        "summary": {
+            "totalOperations": total_ops,
+            "totalDocsExamined": total_docs_lossy,  # Σ avg*count, by reference design
+            "totalReturned": total_returned,
+            "uniquePatterns": len(main),
+            "totalErrors": sum(r["count"] for r in errs),
+            "collscanPercent": round(100.0 * collscan_ops / total_ops, 2) if total_ops else 0.0,
+        },
+        "mainOperations": main,
+        "ttlOperations": rows("ttl_ops"),
+        "operationTypeStats": rows("op_stats"),
+        "errorCodes": errs,
+        "queryHashAnalysis": rows("query_hash", limit=top_query_hashes),
+        "planCacheAnalysis": rows("plan_cache"),
+        "indexStats": idx,
+        "transactions": rows("transactions"),
+        "slowPlanning": rows("slow_planning", limit=top_slow_planning, sort=False),
+        "appNameConnections": rows("app_conn_stats"),
+        "driverStats": rows("driver_stats"),
+        "ignoredCategories": rows("ignored"),
+    }
+    return report
+
+
+def write_json_report(sinks: dict[str, DataFrame], path: str, metadata: dict | None = None) -> None:
+    with open(path, "w") as f:
+        json.dump(json_report(sinks, metadata), f, indent=2, default=str)
+
+
+# ------------------------------------------------------- E18-E20 utilities
+
+def format_duration(duration_ms: int) -> str:
+    """E18 — ms → '1h 2m 3s' (LogRedactionUtil.java:605-620)."""
+    if duration_ms < 1000:
+        return f"{duration_ms}ms"
+    if duration_ms < 60000:
+        return f"{duration_ms / 1000.0:.1f}s"
+    if duration_ms < 3600000:
+        return f"{duration_ms // 60000}m {(duration_ms % 60000) // 1000}s"
+    return (f"{duration_ms // 3600000}h {(duration_ms % 3600000) // 60000}m "
+            f"{(duration_ms % 60000) // 1000}s")
+
+
+def format_bytes(n: int) -> str:
+    """E18 — bytes → '1.5 MB' (LogRedactionUtil.java:515-525)."""
+    if n < 1024:
+        return f"{n} bytes"
+    if n < 1024 * 1024:
+        return f"{n / 1024.0:.1f} KB"
+    if n < 1024 * 1024 * 1024:
+        return f"{n / (1024.0 * 1024.0):.1f} MB"
+    return f"{n / (1024.0 * 1024.0 * 1024.0):.1f} GB"
+
+
+def is_truncated_expr(text):
+    """E19 — truncation detector, the reference's own string fallback
+    (LogRedactionUtil.java:405-417)."""
+    return text.contains('"truncated"') & text.contains('"errMsg"')
+
+
+def query_source_expr(text):
+    """E20 — mongos/mongod source detect (LogRedactionUtil.java:625-649)."""
+    return F.when(
+        text.contains("mongos") | text.contains("fromMongos"), " (from mongos)"
+    ).otherwise(" (from mongod)")

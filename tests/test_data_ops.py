@@ -1,0 +1,68 @@
+"""Oracle-equivalence tests for the training-data operators (dedup,
+similarity, text analysis, multimodal metadata) and relational coverage
+queries — the same comparison the driver runs, at sf0.001."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.util import assert_df_equals_sql
+
+import __spark_entry__ as entrymod
+from mongo_log_parser_spark.contracts.data_queries import DATA_QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def data_oracles():
+    from mongo_log_parser_spark.contracts import data_oracle
+
+    return data_oracle.oracles(0.001)
+
+
+@pytest.mark.parametrize("name", sorted(DATA_QUERIES.keys()))
+def test_data_query_matches_oracle(spark, duck, data_oracles, name):
+    sdf = DATA_QUERIES[name](spark, SF_DIR)
+    assert_df_equals_sql(sdf, duck, data_oracles[name], name)
+
+
+def test_media_meta_pandas_stage(spark):
+    """The mapInPandas media stage: deterministic fake decode, stable schema."""
+    from mongo_log_parser_spark.functions.media import decode_media, extract_media_meta
+    from mongo_log_parser_spark.plans import pipeline
+
+    pages = pipeline.read_pages(spark, sf=0.001).limit(50)
+    meta = extract_media_meta(pages)
+    rows = meta.collect()
+    assert len(rows) == 50
+    assert all(r["n_bytes"] > 0 and len(r["sha256"]) == 64 for r in rows)
+    assert all(r["media_kind"] in ("image", "audio", "video") for r in rows)
+    # decode stub contract: clearly marked NotImplementedError
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\x89PNG")
+
+
+def test_lsh_candidates_superset_of_neardups(spark):
+    """Every verified near-dup pair must come from the candidate set."""
+    from mongo_log_parser_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    cand = {(r["id_a"], r["id_b"]) for r in dedup.lsh_candidates(docs).collect()}
+    near = {(r["id_a"], r["id_b"]) for r in dedup.neardup_pairs(docs, threshold=0.0).collect()}
+    assert near <= cand
+
+
+def test_cosine_topk_bruteforce_sanity(spark):
+    from mongo_log_parser_spark.operators import similarity
+
+    vecs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    out = similarity.cosine_topk(vecs, n_queries=3, k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        assert len(rows) == 5
+        scores = [r["cosine"] for r in sorted(rows, key=lambda r: r["rank"])]
+        assert scores == sorted(scores, reverse=True)
+        assert all(r["neighbor_id"] != q for r in rows)

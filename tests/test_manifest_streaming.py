@@ -1,0 +1,116 @@
+"""Resumable-ingest (manifest) and Structured Streaming tests."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from mongo_log_parser_spark.sources import datagen
+
+
+def test_resumable_manifest_skips_completed_days(spark):
+    from mongo_log_parser_spark.plans import manifest
+
+    full = datagen.ensure_pages(0.001)
+    out = tempfile.mkdtemp(prefix="mlp-manifest-", dir="/root/repo/data")
+    # 6 day-partitions are enough to exercise crash/resume/idempotence
+    path = out + "-subset"
+    spark.read.parquet(full).filter(F.col("warc_ts") < "2025-07-07").write.mode(
+        "overwrite"
+    ).parquet(path)
+    try:
+        # crash after 3 day-partitions
+        r1 = manifest.run_resumable(spark, path, out, fail_after_days=3)
+        assert r1["days_processed"] == 3
+        done1 = manifest.completed_days(spark, out)
+        assert len(done1) == 3
+
+        # resume: processes only the remaining days
+        r2 = manifest.run_resumable(spark, path, out)
+        assert r2["days_already_done"] == 3
+        assert r2["days_processed"] == r1["days_total"] - 3
+        # lineage ids differ per run
+        m = manifest.read_manifest(spark, out)
+        assert m.select("lineage_id").distinct().count() == 2
+
+        # committed ops across all days == one-shot batch ops
+        from mongo_log_parser_spark.operators import route
+
+        full_ops = route.split_streams(spark.read.parquet(path))["ops"]
+        committed = manifest.committed_ops(spark, out)
+        assert committed.count() == full_ops.count()
+        # and the manifest counters reconcile with the scan totals
+        tot = m.agg(F.sum("rows_in"), F.sum("ops")).collect()[0]
+        assert tot[0] == spark.read.parquet(path).count()
+        assert tot[1] == full_ops.count()
+
+        # idempotent: a third run has nothing to do
+        r3 = manifest.run_resumable(spark, path, out)
+        assert r3["days_processed"] == 0
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def test_streaming_windowed_counts_match_batch(spark):
+    from mongo_log_parser_spark.operators import route
+    from mongo_log_parser_spark.streaming import stream_job
+
+    path = datagen.ensure_pages(0.001)
+    ckpt = tempfile.mkdtemp(prefix="mlp-ckpt-", dir="/root/repo/data")
+    try:
+        stream = stream_job.pages_stream(spark, path)
+        windowed = stream_job.windowed_op_counts(stream_job.streaming_ops(stream))
+        q = stream_job.run_available_now(windowed, "stream_op_counts", ckpt)
+        got = {
+            (r["window_start"], r["op"]): (r["count"], r["total_ms"])
+            for r in spark.table("stream_op_counts").collect()
+        }
+        # batch equivalent
+        batch = (
+            route.split_streams(spark.read.parquet(path))["ops"]
+            .filter(F.col("ns_pass"))
+            .groupBy(F.window("warc_ts", "1 day").alias("w"), "op")
+            .agg(F.count(F.lit(1)).alias("count"), F.sum("duration_ms").alias("total_ms"))
+            .select(F.col("w.start").alias("window_start"), "op", "count", "total_ms")
+        )
+        want = {
+            (r["window_start"], r["op"]): (r["count"], r["total_ms"]) for r in batch.collect()
+        }
+        assert got == want
+        q.stop()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_streaming_conn_sessionization(spark):
+    from mongo_log_parser_spark.operators import joins, route
+    from mongo_log_parser_spark.streaming import stream_job
+
+    path = datagen.ensure_pages(0.001)
+    ckpt = tempfile.mkdtemp(prefix="mlp-ckpt2-", dir="/root/repo/data")
+    try:
+        stream = stream_job.pages_stream(spark, path)
+        sessions = stream_job.streaming_conn_sessions(stream)
+        q = stream_job.run_available_now(sessions, "stream_sessions", ckpt)
+        closed = {
+            r["conn_id"]: r["lifetime_ms"]
+            for r in spark.table("stream_sessions").collect()
+            if r["status"] == "closed"
+        }
+        # batch J2 (unsampled) equivalent
+        batch = (
+            joins.conn_lifetimes(
+                route.conn_lifecycle_records(
+                    route.split_streams(spark.read.parquet(path))["kept"]
+                ),
+                sample_mod=1,
+            )
+        )
+        want = {r["conn_id"]: r["lifetime_ms"] for r in batch.collect()}
+        assert closed == want
+        q.stop()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)

@@ -1,0 +1,117 @@
+"""Tests for log-file sources (S1/S2/S4/E17), sink writers (K1-K6), the JSON
+report (K3/A12), humanize helpers (E18) and detectors (E19/E20)."""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from mongo_log_parser_spark.sinks import writers
+from mongo_log_parser_spark.sources import datagen, logfiles
+
+
+def _write_log_files(tmp: str, spark) -> list[str]:
+    texts = [
+        r["text"]
+        for r in spark.read.parquet(datagen.ensure_pages(0.001)).select("text").limit(400).collect()
+    ]
+    plain = os.path.join(tmp, "cluster0-shard-01-02.log")
+    with open(plain, "w") as f:
+        f.write("\n".join(texts[:200]))
+    gz = os.path.join(tmp, "cluster0-shard-03-04.log.gz")
+    with gzip.open(gz, "wt") as f:
+        f.write("\n".join(texts[200:]))
+    return [plain, gz]
+
+
+def test_read_log_files_plain_and_gzip(spark):
+    tmp = tempfile.mkdtemp(prefix="mlp-logs-", dir="/root/repo/data")
+    try:
+        paths = _write_log_files(tmp, spark)
+        df = logfiles.read_log_files(spark, paths)
+        assert df.count() == 400  # .gz read transparently (S2)
+        shards = {(r["shard"], r["node"]) for r in df.select("shard", "node").distinct().collect()}
+        assert shards == {("01", "02"), ("03", "04")}  # E17 filename lineage
+        # S4: per-file line limit
+        limited = logfiles.read_log_files(spark, paths, limit_per_file=50)
+        assert limited.count() == 100
+        # pages-shaped: the full pipeline runs on it
+        from mongo_log_parser_spark.operators import route
+
+        ops = route.split_streams(df)["ops"]
+        assert ops.count() > 0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_namespace_filter_predicate(spark):
+    from mongo_log_parser_spark.operators import route
+
+    pages = spark.read.parquet(datagen.ensure_pages(0.001))
+    ops = route.split_streams(pages)["ops"].filter(F.col("ns_pass"))
+    pred = logfiles.namespace_filter_predicate(["appdb.orders", "shopdb.*", "metricsdb"])
+    kept = ops.filter(pred(F.col("db"), F.col("coll")))
+    seen = {(r["db"], r["coll"]) for r in kept.select("db", "coll").distinct().collect()}
+    assert ("appdb", "orders") in seen
+    assert all(db in ("appdb", "shopdb", "metricsdb") for db, _ in seen)
+    assert ("appdb", "users") not in seen  # exact filter doesn't leak the db
+    # glob form
+    pred2 = logfiles.namespace_filter_predicate(["app*.ord*"])
+    seen2 = {(r["db"], r["coll"]) for r in ops.filter(pred2(F.col("db"), F.col("coll"))).select("db", "coll").distinct().collect()}
+    assert seen2 == {("appdb", "orders")}
+
+
+def test_json_report_and_csv_sinks(spark):
+    from mongo_log_parser_spark.plans import pipeline
+
+    res = pipeline.build(pipeline.read_pages(spark, sf=0.001), cache=False)
+    report = writers.json_report(res.sinks, metadata={"source": "sf0.001"})
+    assert report["summary"]["totalOperations"] > 0
+    assert report["summary"]["uniquePatterns"] == len(report["mainOperations"])
+    assert 0 <= report["summary"]["collscanPercent"] <= 100
+    assert len(report["slowPlanning"]) == 50
+    # sections sorted by count desc (K1 ordering)
+    counts = [r["count"] for r in report["mainOperations"]]
+    assert counts == sorted(counts, reverse=True)
+    # serializable end-to-end
+    tmp = tempfile.mkdtemp(prefix="mlp-report-", dir="/root/repo/data")
+    try:
+        p = os.path.join(tmp, "report.json")
+        writers.write_json_report(res.sinks, p)
+        assert json.load(open(p))["summary"]["totalOperations"] == report["summary"]["totalOperations"]
+        writers.write_csv_sinks({"op_stats": res.sinks["op_stats"]}, tmp)
+        csvdir = os.path.join(tmp, "op_stats_csv")
+        files = [f for f in os.listdir(csvdir) if f.endswith(".csv")]
+        assert files and open(os.path.join(csvdir, files[0])).readline().startswith("op_stat,")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_humanize_and_detectors():
+    # E18 — formatDuration / formatBytes (LogRedactionUtil.java:515-525, 605-620)
+    assert writers.format_duration(999) == "999ms"
+    assert writers.format_duration(1500) == "1.5s"
+    assert writers.format_duration(61000) == "1m 1s"
+    assert writers.format_duration(3723000) == "1h 2m 3s"
+    assert writers.format_bytes(512) == "512 bytes"
+    assert writers.format_bytes(1536) == "1.5 KB"
+    assert writers.format_bytes(1572864) == "1.5 MB"
+    assert writers.format_bytes(1610612736) == "1.5 GB"
+
+
+def test_detector_exprs(spark):
+    df = spark.createDataFrame(
+        [('{"truncated":{"errMsg":"x"}}',), ('{"mongos":{"v":1}}',), ('{"plain":1}',)],
+        "text string",
+    )
+    rows = df.select(
+        writers.is_truncated_expr(F.col("text")).alias("trunc"),
+        writers.query_source_expr(F.col("text")).alias("src"),
+    ).collect()
+    assert [r["trunc"] for r in rows] == [True, False, False]
+    assert [r["src"] for r in rows] == [" (from mongod)", " (from mongos)", " (from mongod)"]
