@@ -635,6 +635,19 @@ GROUP BY 1, 2
 """
 
 
+def q_salted_op_rollup(path: str) -> str:
+    """Oracle for the SALTED plan is the plain GROUP BY — equality proves the
+    two-phase decomposition is exact."""
+    return base_ctes(path) + """
+SELECT db, coll, op,
+  count(duration_ms) AS count,
+  CAST(COALESCE(sum(duration_ms), 0) AS BIGINT) AS total_ms,
+  min(duration_ms) AS min_ms,
+  max(duration_ms) AS max_ms
+FROM ops WHERE ns_pass GROUP BY db, coll, op
+"""
+
+
 def oracles(sf: float = 0.01) -> dict[str, str]:
     p = datagen.pages_path(sf)
     return {
@@ -655,4 +668,8 @@ def oracles(sf: float = 0.01) -> dict[str, str]:
         "log_driver_stats": q_driver_stats(p),
         "log_ts_range": q_ts_range(p),
         "log_enrich_site_class": q_enrich_site_class(p),
+        "log_salted_op_rollup": q_salted_op_rollup(p),
+        # log_redacted_lines: no SQL-expressible oracle (tree-walk text
+        # transform) — driver records the rows-only check; byte-level goldens
+        # in tests/test_redaction.py
     }

@@ -128,6 +128,24 @@ def q_ts_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.timestamp_range(_streams(spark, sf_dir)["kept"])
 
 
+def q_salted_op_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O11 — salted two-phase aggregate; oracle is the PLAIN group-by, proving
+    the salted plan is semantics-preserving."""
+    from ..operators.salting import salted_op_rollup
+
+    return salted_op_rollup(_streams(spark, sf_dir)["ops"])
+
+
+def q_redacted_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R8 per-url byte-identical redact∘trim transform (rows-only driver
+    check; byte-level goldens live in tests/test_redaction.py)."""
+    from ..functions.redact import make_udfs
+
+    kept = _streams(spark, sf_dir)["kept"]
+    udfs = make_udfs()
+    return kept.select("url", udfs["process"](F.col("text")).alias("processed"))
+
+
 def q_enrich_site_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast lookup enrich: pages per (site_class, locale)."""
     spark_pages = _pages(spark, sf_dir)
@@ -158,4 +176,6 @@ LOG_QUERIES = {
     "log_driver_stats": q_driver_stats,
     "log_ts_range": q_ts_range,
     "log_enrich_site_class": q_enrich_site_class,
+    "log_salted_op_rollup": q_salted_op_rollup,
+    "log_redacted_lines": q_redacted_lines,
 }
