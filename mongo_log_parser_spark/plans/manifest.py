@@ -33,8 +33,8 @@ from ..functions import prefilter
 from ..operators import route
 
 
-def day_key(col=F.col("warc_ts")):
-    return F.date_format(col, "yyyy-MM-dd")
+def day_key(col=None):
+    return F.date_format(col if col is not None else F.col("warc_ts"), "yyyy-MM-dd")
 
 
 def manifest_path(out_dir: str) -> str:
