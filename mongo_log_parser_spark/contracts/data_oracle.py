@@ -300,12 +300,17 @@ GROUP BY doc_id
 def q_media_meta(sf: float) -> str:
     p = datagen.pages_path(sf)
     return f"""
+-- Independent recomputation of media.fake_decode's deterministic fields.
 -- DuckDB 1.0 sha256 only accepts VARCHAR (blob cast escapes bytes), so the
 -- oracle recomputes the hash from the generator's html construction rule:
 -- html == utf8('<html><body><pre>' || text || '</pre></body></html>')
-SELECT url, octet_length(html) AS n_bytes,
+SELECT url,
+  CAST(octet_length(html) AS BIGINT) AS n_bytes,
   sha256('<html><body><pre>' || text || '</pre></body></html>') AS sha256,
-  octet_length(html) % 1920 AS fake_width, octet_length(html) % 1080 AS fake_height
+  CASE octet_length(html) % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_kind,
+  CAST(CASE WHEN octet_length(html) % 3 != 1 THEN octet_length(html) % 1920 END AS INTEGER) AS width,
+  CAST(CASE WHEN octet_length(html) % 3 != 1 THEN octet_length(html) % 1080 END AS INTEGER) AS height,
+  CAST(CASE WHEN octet_length(html) % 3 = 2 THEN octet_length(html) % 240 END AS INTEGER) AS frames
 FROM read_parquet('{p}')
 """
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions import textstats
+from ..functions import media, textstats
 from ..operators import dedup, similarity
 from ..sources import datagen
 from .log_queries import sf_from_dir
@@ -135,17 +135,15 @@ def q_fingerprints(spark, sf_dir):
 # -------------------------------------------------------------- multimodal
 
 def q_media_meta(spark, sf_dir):
-    """Opaque binary media column (pages.html) → typed metadata. The real
-    Spark-side plumbing for multimodal decode; the decode itself is stubbed
-    (see streaming/media.py) since no image/audio libs ship in this env."""
+    """Opaque binary media column (pages.html) → typed metadata through the
+    REAL mapInPandas stage (functions/media.py extract_media_meta) with the
+    deterministic fake decoder — so the Arrow batch plumbing itself is what
+    the driver oracle-checks. Real deployments swap fake_decode for
+    PIL/ffmpeg; the stub is documented (no media libs ship in this env).
+    thumbnail (binary) is dropped: covered byte-level in pytest, and the
+    deterministic fields are what the SQL oracle can recompute."""
     pages = spark.read.parquet(datagen.ensure_pages(sf_from_dir(sf_dir)))
-    return pages.select(
-        "url",
-        F.octet_length("html").cast("long").alias("n_bytes"),
-        F.sha2("html", 256).alias("sha256"),
-        (F.octet_length("html") % 1920).cast("long").alias("fake_width"),
-        (F.octet_length("html") % 1080).cast("long").alias("fake_height"),
-    )
+    return media.extract_media_meta(pages).drop("thumbnail")
 
 
 DATA_QUERIES = {

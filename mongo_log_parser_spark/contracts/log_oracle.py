@@ -11,9 +11,9 @@ Parity conventions (probed against DuckDB 1.0):
   e.g. `aggregate: 1` → '1')
 - deterministic argmax/first/last via composite VARCHAR sort keys
   (lpad(duration,20,'0')||url, ts_str||url) — identical on both engines
-- integer averages via floor division (`//`); p95 via linear-interpolation
-  quantile_cont rounded to 4dp on both sides (Spark `percentile` uses the
-  same (n-1)*p interpolation)
+- integer averages via floor division (`//`); p95 via discrete quantile_disc
+  (element at rank ceil(0.95*n)) rounded to 4dp — probed equal to Spark
+  `percentile_approx(x, 0.95, 100000)` for groups under the accuracy bound
 - `kept` (counted) is split from `k` (JSON-projected, json_valid-gated) so a
   hypothetical invalid-JSON kept line cannot error the oracle — mirroring
   Spark's null-struct-on-parse-failure behavior
@@ -277,6 +277,14 @@ def q_ignored_categories(path: str) -> str:
     return base_ctes(path) + "SELECT category, count(*) AS count FROM ignored GROUP BY category"
 
 
+def q_ignored_sample(path: str) -> str:
+    """F8 — deterministic 1-in-100 content-hash sample of ignored lines."""
+    return base_ctes(path) + """
+SELECT url, text, category FROM ignored
+WHERE CAST(('0x' || substr(md5(url), 1, 8)) AS BIGINT) % 100 = 0
+"""
+
+
 def q_parsed_ops(path: str) -> str:
     return base_ctes(path) + """
 SELECT url, db, coll, op, op_stat, branch, ns_pass,
@@ -297,13 +305,15 @@ SELECT db, coll, op, app_name,
   COALESCE(min(duration_ms), 0) AS min_ms,
   COALESCE(max(duration_ms), 0) AS max_ms,
   CAST(COALESCE(sum(duration_ms) // count(duration_ms), 0) AS BIGINT) AS avg_ms,
-  round(COALESCE(quantile_cont(duration_ms, 0.95), 0.0), 4) AS p95_ms,
+  round(CAST(COALESCE(quantile_disc(duration_ms, 0.95), 0) AS DOUBLE), 4) AS p95_ms,
   CAST(COALESCE(sum(keys_examined), 0) AS BIGINT) AS total_keys,
   CAST(COALESCE(sum(CASE WHEN keys_examined IS NOT NULL THEN docs_examined END), 0) AS BIGINT) AS total_docs,
   CAST(COALESCE(sum(nreturned), 0) AS BIGINT) AS total_returned,
   CAST(COALESCE(sum(reslen), 0) AS BIGINT) AS total_reslen,
   CAST(COALESCE(sum(bytes_read), 0) AS BIGINT) AS total_bytes_read,
   CAST(COALESCE(sum(bytes_written), 0) AS BIGINT) AS total_bytes_written,
+  CAST(COALESCE(max(bytes_read), 0) AS BIGINT) AS max_bytes_read,
+  CAST(COALESCE(max(bytes_written), 0) AS BIGINT) AS max_bytes_written,
   CAST(COALESCE(sum(write_conflicts), 0) AS BIGINT) AS total_write_conflicts,
   CAST(COALESCE(sum(n_shards), 0) AS BIGINT) AS total_shards,
   CAST(sum(CAST(is_error AS BIGINT)) AS BIGINT) AS error_count,
@@ -329,7 +339,7 @@ SELECT db, coll,
   COALESCE(max(duration_ms), 0) AS max_ms,
   CAST(COALESCE(sum(duration_ms) // count(duration_ms), 0) AS BIGINT) AS avg_ms,
   CAST(COALESCE(sum(num_deleted) // count(duration_ms), 0) AS BIGINT) AS avg_deleted,
-  COALESCE(sum(num_deleted) // count(duration_ms), 0) * count(duration_ms) AS total_deleted
+  CAST(COALESCE(sum(num_deleted) // count(duration_ms), 0) * count(duration_ms) AS BIGINT) AS total_deleted
 FROM ttl_pre GROUP BY db, coll
 """
 
@@ -418,13 +428,15 @@ qh_agg AS (
     COALESCE(min(duration_ms), 0) AS min_ms,
     COALESCE(max(duration_ms), 0) AS max_ms,
     CAST(COALESCE(sum(duration_ms) // count(duration_ms), 0) AS BIGINT) AS avg_ms,
-    round(COALESCE(quantile_cont(duration_ms, 0.95), 0.0), 4) AS p95_ms,
+    round(CAST(COALESCE(quantile_disc(duration_ms, 0.95), 0) AS DOUBLE), 4) AS p95_ms,
     CAST(COALESCE(sum(keys_examined), 0) AS BIGINT) AS total_keys,
     CAST(COALESCE(sum(docs_examined), 0) AS BIGINT) AS total_docs,
     CAST(COALESCE(sum(nreturned), 0) AS BIGINT) AS total_returned,
     CAST(COALESCE(sum(reslen), 0) AS BIGINT) AS total_reslen,
     CAST(COALESCE(sum(bytes_read), 0) AS BIGINT) AS total_bytes_read,
     CAST(COALESCE(sum(bytes_written), 0) AS BIGINT) AS total_bytes_written,
+    CAST(COALESCE(max(bytes_read), 0) AS BIGINT) AS max_bytes_read,
+    CAST(COALESCE(max(bytes_written), 0) AS BIGINT) AS max_bytes_written,
     CAST(COALESCE(sum(n_shards), 0) AS BIGINT) AS total_shards,
     count(planning_us) AS planning_count,
     CAST(COALESCE(min(planning_us), 0) AS BIGINT) AS min_planning_us,
@@ -476,7 +488,7 @@ SELECT db || '.' || coll AS ns, op, query_hash, plan_summary,
   COALESCE(min(duration_ms), 0) AS min_ms,
   COALESCE(max(duration_ms), 0) AS max_ms,
   CAST(COALESCE(sum(duration_ms) // count(duration_ms), 0) AS BIGINT) AS avg_ms,
-  round(COALESCE(quantile_cont(duration_ms, 0.95), 0.0), 4) AS p95_ms,
+  round(CAST(COALESCE(quantile_disc(duration_ms, 0.95), 0) AS DOUBLE), 4) AS p95_ms,
   CAST(COALESCE(sum(keys_examined), 0) AS BIGINT) AS total_keys,
   CAST(COALESCE(sum(docs_examined), 0) AS BIGINT) AS total_docs,
   CAST(COALESCE(sum(nreturned), 0) AS BIGINT) AS total_returned,
@@ -488,6 +500,32 @@ GROUP BY 1, 2, 3, 4
 """
 
 
+def q_plan_multi(path: str) -> str:
+    """A5b — per-queryHash multi-plan rollup (>1 cached plan per hash)."""
+    return base_ctes(path) + """
+, pc AS (
+  SELECT db || '.' || coll AS ns, op, query_hash, plan_summary,
+    count(duration_ms) AS count,
+    COALESCE(min(duration_ms), 0) AS min_ms,
+    COALESCE(max(duration_ms), 0) AS max_ms
+  FROM ops
+  WHERE ns_pass AND plan_cache_key IS NOT NULL AND plan_summary IS NOT NULL
+  GROUP BY 1, 2, 3, 4
+)
+SELECT query_hash,
+  CAST(count(*) AS BIGINT) AS plan_count,
+  CAST(sum(count) AS BIGINT) AS total_count,
+  CAST(COALESCE(min(min_ms), 0) AS BIGINT) AS min_ms,
+  CAST(COALESCE(max(max_ms), 0) AS BIGINT) AS max_ms,
+  string_agg(plan_summary || '@' || ns || '@' || op || '=' || count, '|'
+             ORDER BY plan_summary || '@' || ns || '@' || op || '=' || count) AS plans
+FROM pc
+WHERE query_hash IS NOT NULL
+GROUP BY 1
+HAVING count(*) > 1
+"""
+
+
 def q_index_stats(path: str) -> str:
     return base_ctes(path) + """
 SELECT db || '.' || coll AS ns, plan_summary,
@@ -495,7 +533,7 @@ SELECT db || '.' || coll AS ns, plan_summary,
   COALESCE(min(duration_ms), 0) AS min_ms,
   COALESCE(max(duration_ms), 0) AS max_ms,
   CAST(COALESCE(sum(duration_ms) // count(duration_ms), 0) AS BIGINT) AS avg_ms,
-  round(COALESCE(quantile_cont(duration_ms, 0.95), 0.0), 4) AS p95_ms,
+  round(CAST(COALESCE(quantile_disc(duration_ms, 0.95), 0) AS DOUBLE), 4) AS p95_ms,
   CAST(COALESCE(sum(keys_examined), 0) AS BIGINT) AS total_keys,
   CAST(COALESCE(sum(docs_examined), 0) AS BIGINT) AS total_docs,
   CAST(COALESCE(sum(nreturned), 0) AS BIGINT) AS total_returned,
@@ -600,6 +638,7 @@ lt_agg AS (
   FROM lifetimes JOIN conn_key USING (conn_id)
   GROUP BY 1, 2, 3, 4, 5, 6
 )
+, final AS (
 SELECT e.driver, e.version, e.os_type, e.platform, e.compressors, e.username,
   count(*) AS connection_count,
   count(DISTINCT e.remote) AS unique_hosts,
@@ -611,6 +650,12 @@ LEFT JOIN lt_agg l ON (e.driver IS NOT DISTINCT FROM l.driver AND e.version IS N
   AND e.os_type IS NOT DISTINCT FROM l.os_type AND e.platform IS NOT DISTINCT FROM l.platform
   AND e.compressors IS NOT DISTINCT FROM l.compressors AND e.username IS NOT DISTINCT FROM l.username)
 GROUP BY 1, 2, 3, 4, 5, 6
+)
+SELECT *, COALESCE(username, '') AS usernames,
+  array_to_string(list_transform(
+    CASE WHEN compressors = '' THEN ['none'] ELSE string_split(compressors, ',') END,
+    c -> c || '=' || connection_count), '|') AS compressor_usage
+FROM final
 """
 
 
@@ -653,12 +698,14 @@ def oracles(sf: float = 0.01) -> dict[str, str]:
     return {
         "log_route_counts": q_route_counts(p),
         "log_ignored_categories": q_ignored_categories(p),
+        "log_ignored_sample": q_ignored_sample(p),
         "log_parsed_ops": q_parsed_ops(p),
         "log_main_ops": q_main_ops(p),
         "log_ttl_ops": q_ttl_ops(p),
         "log_op_stats": q_op_stats(p),
         "log_query_hash": q_query_hash(p),
         "log_plan_cache": q_plan_cache(p),
+        "log_plan_multi": q_plan_multi(p),
         "log_index_stats": q_index_stats(p),
         "log_error_codes": q_error_codes(p),
         "log_transactions": q_transactions(p),

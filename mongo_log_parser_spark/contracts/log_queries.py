@@ -72,6 +72,11 @@ def q_parsed_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ignored_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 — deterministic 1-in-100 ignored-line sample."""
+    return route.ignored_sample(_streams(spark, sf_dir)["ignored"])
+
+
 def q_main_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_p95(agg.main_ops(_streams(spark, sf_dir)["ops"]))
 
@@ -90,6 +95,11 @@ def q_query_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_plan_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_p95(agg.plan_cache(_streams(spark, sf_dir)["ops"]))
+
+
+def q_plan_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5b — query hashes that cached >1 distinct plan (multi-plan report)."""
+    return agg.plan_cache_multi(agg.plan_cache(_streams(spark, sf_dir)["ops"]))
 
 
 def q_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -161,12 +171,14 @@ def q_enrich_site_class(spark: SparkSession, sf_dir: str) -> DataFrame:
 LOG_QUERIES = {
     "log_route_counts": q_route_counts,
     "log_ignored_categories": q_ignored_categories,
+    "log_ignored_sample": q_ignored_sample,
     "log_parsed_ops": q_parsed_ops,
     "log_main_ops": q_main_ops,
     "log_ttl_ops": q_ttl_ops,
     "log_op_stats": q_op_stats,
     "log_query_hash": q_query_hash,
     "log_plan_cache": q_plan_cache,
+    "log_plan_multi": q_plan_multi,
     "log_index_stats": q_index_stats,
     "log_error_codes": q_error_codes,
     "log_transactions": q_transactions,

@@ -86,6 +86,46 @@ def extract_media_meta(df: DataFrame, media_col: str = "html", url_col: str = "u
     return df.select(url_col, media_col).mapInPandas(run, MEDIA_META_SCHEMA)
 
 
-def media_resize_stub(df: DataFrame, media_col: str = "html"):
-    """Documents the resize/frame-sample stage contract (real decode stubbed)."""
-    return df.withColumn("resize_error", F.lit("NotImplemented: no media libs in env"))
+RESIZED_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("media_kind", StringType()),
+    StructField("out_width", IntegerType()),
+    StructField("out_height", IntegerType()),
+    StructField("resized", BinaryType()),
+])
+
+
+def resize_media(df: DataFrame, target_w: int = 64, target_h: int = 64,
+                 media_col: str = "html", url_col: str = "url",
+                 decoder=fake_decode) -> DataFrame:
+    """Resize / frame-sample stage: binary-in → binary-out mapInPandas.
+
+    With the fake decoder the "pixel" resample is a deterministic stride
+    subsample of the payload bytes to target_w*target_h bytes (aspect-clamped
+    like a real thumbnailer: never upscales). Audio payloads pass through a
+    target_w*target_h-byte head-clip ("first N samples"). Real deployments
+    swap `decoder` + the resample line for PIL.Image.resize / ffmpeg scale;
+    the Arrow batch shape, schema, and null handling are exactly what that
+    version uses."""
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, payload in zip(pdf[url_col], pdf[media_col]):
+                b = bytes(payload) if payload is not None else b""
+                meta = decoder(b)
+                kind = meta["media_kind"]
+                if kind == "audio":
+                    out_w, out_h = None, None
+                    resized = b[: target_w * target_h]
+                else:
+                    out_w = min(target_w, meta["width"] or target_w)
+                    out_h = min(target_h, meta["height"] or target_h)
+                    n_out = max(1, out_w * out_h)
+                    stride = max(1, len(b) // n_out)
+                    resized = b[::stride][:n_out]
+                rows.append([url, kind, out_w, out_h, resized])
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZED_SCHEMA.fields])
+
+    return df.select(url_col, media_col).mapInPandas(run, RESIZED_SCHEMA)

@@ -11,8 +11,13 @@ Fidelity rules reproduced exactly (SURVEY.md §7.3):
   (LogLineAccumulator.java:166-168).
 - docsExamined sums only when keysExamined is non-null (addExamined gate,
   Accumulator.java:134-136).
-- p95 uses exact `percentile` (the reference's first-10k-arrivals cap is an
-  order-dependent artifact we deliberately do not copy; equal at <10k/group).
+- p95 uses `percentile_approx` (KLL-style sketch, mergeable, bounded memory —
+  SURVEY §7.3.3). At accuracy=100k it is EXACT (element at rank ceil(0.95*n))
+  for every group below 100k values, which covers oracle-test scale; above
+  that it degrades gracefully instead of buffering every value per group the
+  way exact `percentile` (ObjectHashAggregate) does — an executor-OOM risk on
+  heavy-hitter namespaces at 100 TB. The reference's first-10k-arrivals cap is
+  an order-dependent artifact we deliberately do not copy.
 - first/last/argmax are made deterministic with min_by/max_by over (ts, url)
   — the reference is thread-race nondeterministic here (SURVEY.md §7.3.4).
 
@@ -27,12 +32,30 @@ from pyspark.sql import functions as F
 
 
 def _fdiv(total: Column, cnt: Column) -> Column:
-    """floor(total/cnt) with 0 on empty — Java long division on non-negatives."""
-    return F.coalesce(F.floor(total / cnt), F.lit(0)).cast("long")
+    """floor(total/cnt) with 0 on empty — Java long division on non-negatives.
+
+    try_divide: groups can have cnt=0 (rows exist but every duration is null —
+    seen on the reference's real Atlas logs) and ANSI mode makes plain `/`
+    throw DIVIDE_BY_ZERO there."""
+    return F.coalesce(F.floor(F.try_divide(total, cnt)), F.lit(0)).cast("long")
 
 
 def _z(col: Column) -> Column:
     return F.coalesce(col, F.lit(0)).cast("long")
+
+
+# percentile_approx accuracy: exact (rank ceil(p*n), == DuckDB quantile_disc)
+# for groups under this many values; sketch-approximate above. Keeps the
+# aggregate a mergeable fixed-size HashAggregate instead of exact percentile's
+# buffer-everything ObjectHashAggregate.
+P95_ACCURACY = 100_000
+
+
+def _p95(col: str = "duration_ms") -> Column:
+    return F.coalesce(
+        F.expr(f"percentile_approx({col}, 0.95, {P95_ACCURACY})").cast("double"),
+        F.lit(0.0),
+    )
 
 
 # Composite VARCHAR sort keys — identical lexicographic semantics in Spark and
@@ -66,7 +89,7 @@ def main_ops(ops: DataFrame) -> DataFrame:
         _z(F.min("duration_ms")).alias("min_ms"),
         _z(F.max("duration_ms")).alias("max_ms"),
         _fdiv(F.sum("duration_ms"), cnt).alias("avg_ms"),
-        F.coalesce(F.expr("percentile(duration_ms, 0.95)"), F.lit(0.0)).alias("p95_ms"),
+        _p95().alias("p95_ms"),
         _z(F.sum("keys_examined")).alias("total_keys"),
         # docs gated on keys non-null (Accumulator.java:134-136)
         _z(F.sum(F.when(F.col("keys_examined").isNotNull(), F.col("docs_examined")))).alias("total_docs"),
@@ -74,6 +97,8 @@ def main_ops(ops: DataFrame) -> DataFrame:
         _z(F.sum("reslen")).alias("total_reslen"),
         _z(F.sum("bytes_read")).alias("total_bytes_read"),
         _z(F.sum("bytes_written")).alias("total_bytes_written"),
+        _z(F.max("bytes_read")).alias("max_bytes_read"),
+        _z(F.max("bytes_written")).alias("max_bytes_written"),
         _z(F.sum("write_conflicts")).alias("total_write_conflicts"),
         _z(F.sum("n_shards")).alias("total_shards"),
         F.sum(F.col("is_error").cast("long")).alias("error_count"),
@@ -166,13 +191,15 @@ def query_hash(ops: DataFrame) -> DataFrame:
         _z(F.min("duration_ms")).alias("min_ms"),
         _z(F.max("duration_ms")).alias("max_ms"),
         _fdiv(F.sum("duration_ms"), cnt).alias("avg_ms"),
-        F.coalesce(F.expr("percentile(duration_ms, 0.95)"), F.lit(0.0)).alias("p95_ms"),
+        _p95().alias("p95_ms"),
         _z(F.sum("keys_examined")).alias("total_keys"),
         _z(F.sum("docs_examined")).alias("total_docs"),
         _z(F.sum("nreturned")).alias("total_returned"),
         _z(F.sum("reslen")).alias("total_reslen"),
         _z(F.sum("bytes_read")).alias("total_bytes_read"),
         _z(F.sum("bytes_written")).alias("total_bytes_written"),
+        _z(F.max("bytes_read")).alias("max_bytes_read"),
+        _z(F.max("bytes_written")).alias("max_bytes_written"),
         _z(F.sum("n_shards")).alias("total_shards"),
         pcnt.alias("planning_count"),
         _z(F.min("planning_us")).alias("min_planning_us"),
@@ -224,13 +251,48 @@ def plan_cache(ops: DataFrame) -> DataFrame:
         _z(F.min("duration_ms")).alias("min_ms"),
         _z(F.max("duration_ms")).alias("max_ms"),
         _fdiv(F.sum("duration_ms"), cnt).alias("avg_ms"),
-        F.coalesce(F.expr("percentile(duration_ms, 0.95)"), F.lit(0.0)).alias("p95_ms"),
+        _p95().alias("p95_ms"),
         _z(F.sum("keys_examined")).alias("total_keys"),
         _z(F.sum("docs_examined")).alias("total_docs"),
         _z(F.sum("nreturned")).alias("total_returned"),
         F.max(F.col("plan_summary").contains("COLLSCAN")).alias("is_collscan"),
         _sample_slowest().alias("sample_line"),
     )
+
+
+def plan_cache_multi(plan_cache_df: DataFrame) -> DataFrame:
+    """A5b — per-queryHash multi-plan rollup
+    (PlanCacheAccumulator.reportByQueryHash, PlanCacheAccumulator.java:199-278):
+    group the plan-cache entries by query_hash and surface hashes that cached
+    MORE THAN ONE distinct (plan_summary, ns, op) entry — the whole point of
+    plan-cache analysis (a query flip-flopping between plans).
+
+    The per-plan detail is encoded as a sorted `plan@ns@op=count` kv-string so
+    the result is one flat row per hash, portable to the DuckDB oracle. Second
+    aggregation is over the (small) A5 output, not the ops stream — negligible
+    shuffle."""
+    g = (
+        plan_cache_df.filter(F.col("query_hash").isNotNull())
+        .groupBy("query_hash")
+        .agg(
+            F.count(F.lit(1)).alias("plan_count"),
+            F.sum("count").alias("total_count"),
+            _z(F.min("min_ms")).alias("min_ms"),
+            _z(F.max("max_ms")).alias("max_ms"),
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(
+                        F.concat(
+                            F.col("plan_summary"), F.lit("@"), F.col("ns"), F.lit("@"),
+                            F.col("op"), F.lit("="), F.col("count"),
+                        )
+                    )
+                ),
+                "|",
+            ).alias("plans"),
+        )
+    )
+    return g.filter(F.col("plan_count") > 1)
 
 
 def index_stats(ops: DataFrame) -> DataFrame:
@@ -247,7 +309,7 @@ def index_stats(ops: DataFrame) -> DataFrame:
         _z(F.min("duration_ms")).alias("min_ms"),
         F.coalesce(F.max("duration_ms"), F.lit(0)).alias("max_ms"),
         _fdiv(F.sum("duration_ms"), cnt).alias("avg_ms"),
-        F.coalesce(F.expr("percentile(duration_ms, 0.95)"), F.lit(0.0)).alias("p95_ms"),
+        _p95().alias("p95_ms"),
         _z(F.sum("keys_examined")).alias("total_keys"),
         _z(F.sum("docs_examined")).alias("total_docs"),
         _z(F.sum("nreturned")).alias("total_returned"),

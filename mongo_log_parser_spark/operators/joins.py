@@ -85,10 +85,29 @@ def driver_stats(meta: DataFrame, auth: DataFrame, conn_lifecycle: DataFrame) ->
         c = base[k].eqNullSafe(lt_agg[k])
         cond = c if cond is None else cond & c
     joined = base.join(lt_agg, cond, "left")
-    return joined.select(
+    out = joined.select(
         *[base[k] for k in keys],
         "connection_count", "unique_hosts", "sample_metadata_line", "sample_auth_line",
         "avg_lifetime_ms", "max_lifetime_ms", "sampled_lifetimes",
+    )
+    # A11 completeness (DriverStatsEntry.java:14-120): the entry key already
+    # contains username and the (sorted) compressor set, so the per-entry
+    # usernames set and per-compressor usage counts are derivable in place —
+    # no extra aggregation or shuffle.
+    comp_tokens = F.when(F.col("compressors") == "", F.array(F.lit("none"))).otherwise(
+        F.split(F.col("compressors"), ",")
+    )
+    return out.withColumns(
+        {
+            "usernames": F.coalesce(F.col("username"), F.lit("")),
+            "compressor_usage": F.array_join(
+                F.transform(
+                    comp_tokens,
+                    lambda t: F.concat(t, F.lit("="), F.col("connection_count").cast("string")),
+                ),
+                "|",
+            ),
+        }
     )
 
 

@@ -70,6 +70,18 @@ def split_streams(pages: DataFrame) -> dict[str, DataFrame]:
     }
 
 
+def ignored_sample(ignored: DataFrame, rate: int = 100) -> DataFrame:
+    """F8 — ignored-line sample sink (LogParser.java:980-982).
+
+    The reference writes every 100th ignored line by a global arrival counter
+    (thread-racy and order-dependent). The distributed restatement samples on
+    a content hash: deterministic, reproducible at any cluster size, the same
+    1-in-`rate` expected rate, and shuffle-free (a narrow filter — no global
+    counter to serialize on)."""
+    bucket = F.conv(F.substring(F.md5(F.col("url")), 1, 8), 16, 10).cast("long") % rate
+    return ignored.filter(bucket == 0).select("url", "text", "category")
+
+
 def error_records(kept: DataFrame) -> DataFrame:
     """A7 source — processErrorCode (LogParserTask.java:1040-1117).
 

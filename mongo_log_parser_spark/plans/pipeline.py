@@ -70,10 +70,16 @@ def build(
         workdir = workdir or os.path.join(
             datagen.DATA_ROOT, "tmp", f"stage-{uuid.uuid4().hex[:8]}"
         )
-        for name in ("kept", "ops"):
-            path = os.path.join(workdir, name)
-            streams[name].write.mode("overwrite").parquet(path)
-            streams[name] = spark.read.parquet(path)
+        # Checkpoint `kept` (the one Arrow parse), then derive `ops` FROM the
+        # checkpoint before writing it — otherwise the ops write re-runs the
+        # full mapInPandas parse over every kept line (2x parse cost; this was
+        # the round-1 scaling-gate failure).
+        kept_path = os.path.join(workdir, "kept")
+        streams["kept"].write.mode("overwrite").parquet(kept_path)
+        streams["kept"] = spark.read.parquet(kept_path)
+        ops_path = os.path.join(workdir, "ops")
+        route.extract_ops(streams["kept"]).write.mode("overwrite").parquet(ops_path)
+        streams["ops"] = spark.read.parquet(ops_path)
         # re-derive the side channels off the checkpointed parse
         streams.update(
             {
@@ -103,6 +109,7 @@ def build(
             streams["client_metadata"], streams["auth"], streams["conn_lifecycle"]
         ),
         "ignored": agg.ignored_stats(streams["ignored"]),
+        "ignored_sample": route.ignored_sample(streams["ignored"]),
     }
     return PipelineResult(streams=streams, sinks=sinks, workdir=workdir)
 

@@ -109,6 +109,95 @@ def write_json_report(sinks: dict[str, DataFrame], path: str, metadata: dict | N
         json.dump(json_report(sinks, metadata), f, indent=2, default=str)
 
 
+# ----------------------------------------------------------- K4 HTML report
+
+_HTML_SECTIONS = [
+    # (report key, title, column used for the humanized-duration hint)
+    ("mainOperations", "Main Operations", "avg_ms"),
+    ("ttlOperations", "TTL Operations", "avg_ms"),
+    ("operationTypeStats", "Operation Type Stats", None),
+    ("errorCodes", "Error Codes", None),
+    ("queryHashAnalysis", "Query Hash Analysis (top 100)", "avg_ms"),
+    ("planCacheAnalysis", "Plan Cache", "avg_ms"),
+    ("indexStats", "Index Usage", "avg_ms"),
+    ("transactions", "Transactions", "avg_ms"),
+    ("slowPlanning", "Slow Planning (top 50)", None),
+    ("appNameConnections", "App Connections", None),
+    ("driverStats", "Driver Stats", None),
+    ("ignoredCategories", "Ignored Line Categories", None),
+]
+
+_SAMPLE_COLS = {"sample_line", "sample_metadata_line", "sample_auth_line", "raw_filter",
+                "sanitized_query", "text"}
+
+
+def _esc(v: Any) -> str:
+    return (str(v).replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+            .replace('"', "&quot;"))
+
+
+def _cell(col: str, v: Any) -> str:
+    if v is None:
+        return "<td></td>"
+    if col in _SAMPLE_COLS:
+        s = _esc(v)
+        return f'<td><details><summary>{s[:60]}…</summary><pre>{s}</pre></details></td>' \
+            if len(s) > 60 else f"<td><code>{s}</code></td>"
+    if col.endswith("_ms") and isinstance(v, (int, float)) and not isinstance(v, bool):
+        return f'<td title="{_esc(v)}">{_esc(format_duration(int(v)))}</td>'
+    if ("bytes" in col or col == "total_reslen") and isinstance(v, int) and not isinstance(v, bool):
+        return f'<td title="{_esc(v)}">{_esc(format_bytes(v))}</td>'
+    return f"<td>{_esc(v)}</td>"
+
+
+def html_report(report: dict[str, Any]) -> str:
+    """K4 — single-file HTML render of the JSON report: summary header, nav,
+    one sortable table per section, humanized durations/bytes, collapsible
+    sample log lines.
+
+    Deliberately minimal next to the reference's 2798-line
+    HtmlReportGenerator.java (no embedded JS charts/filter boxes); section
+    set, ordering (count desc), and the humanize rules match it
+    (HtmlReportGenerator.java:42-120 section list; formatDuration/formatBytes
+    per LogRedactionUtil.java:515-620)."""
+    parts = [
+        "<!DOCTYPE html><html><head><meta charset='utf-8'>",
+        "<title>mongo-log-parser-spark report</title>",
+        "<style>body{font-family:sans-serif;margin:1.5em}table{border-collapse:collapse;"
+        "margin:1em 0;font-size:13px}th,td{border:1px solid #ccc;padding:3px 8px;"
+        "text-align:left}th{background:#f0f0f0;position:sticky;top:0}tr:nth-child(even)"
+        "{background:#fafafa}pre{white-space:pre-wrap;max-width:80em}summary{cursor:pointer}"
+        "nav a{margin-right:1em}</style></head><body>",
+        "<h1>MongoDB Log Analysis Report</h1>",
+    ]
+    md = report.get("metadata") or {}
+    sm = report.get("summary") or {}
+    parts.append("<table><tr>" + "".join(
+        f"<th>{_esc(k)}</th>" for k in list(md) + list(sm)) + "</tr><tr>" + "".join(
+        f"<td>{_esc(v)}</td>" for v in list(md.values()) + list(sm.values())) + "</tr></table>")
+    parts.append("<nav>" + "".join(
+        f"<a href='#{key}'>{_esc(title)}</a>" for key, title, _ in _HTML_SECTIONS
+        if report.get(key)) + "</nav>")
+    for key, title, _ in _HTML_SECTIONS:
+        rows = report.get(key)
+        if not rows:
+            continue
+        cols = list(rows[0].keys())
+        parts.append(f"<h2 id='{key}'>{_esc(title)} <small>({len(rows)} rows)</small></h2>")
+        parts.append("<table><tr>" + "".join(f"<th>{_esc(c)}</th>" for c in cols) + "</tr>")
+        for r in rows:
+            parts.append("<tr>" + "".join(_cell(c, r.get(c)) for c in cols) + "</tr>")
+        parts.append("</table>")
+    parts.append("</body></html>")
+    return "".join(parts)
+
+
+def write_html_report(sinks: dict[str, DataFrame], path: str,
+                      metadata: dict | None = None) -> None:
+    with open(path, "w") as f:
+        f.write(html_report(json_report(sinks, metadata)))
+
+
 # ------------------------------------------------------- E18-E20 utilities
 
 def format_duration(duration_ms: int) -> str:

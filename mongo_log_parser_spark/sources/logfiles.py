@@ -32,12 +32,21 @@ def read_log_files(spark: SparkSession, paths: str | list[str],
     if isinstance(paths, str):
         paths = [paths]
     df = spark.read.text(paths).withColumn("_file", F.input_file_name())
-    w = Window.partitionBy("_file").orderBy(F.monotonically_increasing_id())
-    df = df.withColumn("_lineno", F.row_number().over(w))
     if limit_per_file is not None:
-        df = df.filter(F.col("_lineno") <= limit_per_file)
+        # --limit N needs true per-file line numbers → one window shuffle,
+        # paid only when the flag is set.
+        w = Window.partitionBy("_file").orderBy(F.monotonically_increasing_id())
+        df = df.withColumn("_lineno", F.row_number().over(w)).filter(
+            F.col("_lineno") <= limit_per_file
+        )
+    else:
+        # Lineage id only: monotonically_increasing_id is unique and ascends
+        # within each partition — no Exchange, no single-reducer-per-file
+        # bottleneck. Not a contiguous per-file line number, which nothing
+        # downstream requires (url is an opaque stable id + tiebreaker).
+        df = df.withColumn("_lineno", F.monotonically_increasing_id())
     return df.select(
-        F.concat(F.col("_file"), F.lit("#"), F.lpad(F.col("_lineno").cast("string"), 9, "0")).alias("url"),
+        F.concat(F.col("_file"), F.lit("#"), F.lpad(F.col("_lineno").cast("string"), 19, "0")).alias("url"),
         F.lit(None).cast("timestamp").alias("warc_ts"),
         F.lit(None).cast("binary").alias("html"),
         F.col("value").alias("text"),

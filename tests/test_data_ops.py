@@ -43,6 +43,28 @@ def test_media_meta_pandas_stage(spark):
         decode_media(b"\x89PNG")
 
 
+def test_media_resize_stage(spark):
+    """Binary-in → binary-out resize/frame-sample stage (deterministic fake
+    resample; real deployments swap in PIL/ffmpeg at the marked line)."""
+    from mongo_log_parser_spark.functions.media import fake_decode, resize_media
+    from mongo_log_parser_spark.plans import pipeline
+
+    pages = pipeline.read_pages(spark, sf=0.001).limit(50)
+    out = resize_media(pages, target_w=8, target_h=8)
+    rows = out.collect()
+    assert len(rows) == 50
+    for r in rows:
+        if r["media_kind"] == "audio":
+            assert r["out_width"] is None and r["out_height"] is None
+            assert len(r["resized"]) <= 64
+        else:
+            assert 1 <= r["out_width"] <= 8 and 1 <= r["out_height"] <= 8
+            assert 1 <= len(r["resized"]) <= r["out_width"] * r["out_height"]
+    # deterministic: same input bytes → same resized bytes
+    again = {r["url"]: bytes(r["resized"]) for r in out.collect()}
+    assert all(bytes(r["resized"]) == again[r["url"]] for r in rows)
+
+
 def test_lsh_candidates_superset_of_neardups(spark):
     """Every verified near-dup pair must come from the candidate set."""
     from mongo_log_parser_spark.operators import dedup

@@ -34,7 +34,12 @@ def test_read_log_files_plain_and_gzip(spark):
     try:
         paths = _write_log_files(tmp, spark)
         df = logfiles.read_log_files(spark, paths)
+        # no per-file row_number window unless --limit is set: the no-limit
+        # scan must be shuffle-free (scale: one reducer per file otherwise)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "Window" not in plan
         assert df.count() == 400  # .gz read transparently (S2)
+        assert df.select("url").distinct().count() == 400  # lineage ids unique
         shards = {(r["shard"], r["node"]) for r in df.select("shard", "node").distinct().collect()}
         assert shards == {("01", "02"), ("03", "04")}  # E17 filename lineage
         # S4: per-file line limit
@@ -45,6 +50,27 @@ def test_read_log_files_plain_and_gzip(spark):
 
         ops = route.split_streams(df)["ops"]
         assert ops.count() > 0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_logfilter_cli(spark):
+    """§3.3 standalone LogFilter: read.text → trim UDF → write.text."""
+    import glob as _glob
+
+    from mongo_log_parser_spark import logfilter
+
+    tmp = tempfile.mkdtemp(prefix="mlp-filter-", dir="/root/repo/data")
+    try:
+        paths = _write_log_files(tmp, spark)
+        out = os.path.join(tmp, "filtered")
+        logfilter.run(spark, paths, out, limit=100)
+        lines = []
+        for p in _glob.glob(os.path.join(out, "part-*")):
+            lines += open(p).read().splitlines()
+        assert len(lines) == 200  # 100-line cap per file (S4)
+        # trimmed output is still one JSON doc per line
+        assert all(line.startswith("{") for line in lines if line)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -88,6 +114,19 @@ def test_json_report_and_csv_sinks(spark):
         csvdir = os.path.join(tmp, "op_stats_csv")
         files = [f for f in os.listdir(csvdir) if f.endswith(".csv")]
         assert files and open(os.path.join(csvdir, files[0])).readline().startswith("op_stat,")
+        # K4 — HTML render of the same report document
+        html = writers.html_report(report)
+        assert html.startswith("<!DOCTYPE html>")
+        for sec in ("Main Operations", "Error Codes", "Query Hash Analysis",
+                    "Index Usage", "Driver Stats", "Ignored Line Categories"):
+            assert sec in html, sec
+        # every main-ops row rendered; durations humanized; content escaped
+        assert html.count("<h2") >= 10
+        assert "ms</td>" in html or "s</td>" in html
+        assert "<script" not in html.lower()
+        hp = os.path.join(tmp, "report.html")
+        writers.write_html_report(res.sinks, hp, metadata={"source": "sf0.001"})
+        assert os.path.getsize(hp) > 10000
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
