@@ -43,36 +43,38 @@ def token_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     )
 
 
-def lang_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Per-(doc, lang) stopword-hit counts, exploded."""
-    toks = docs.select(id_col, F.explode(tokens(text_col)).alias("tok"))
-    rows = []
-    for lang, words in STOPWORDS.items():
-        rows.append(
-            toks.groupBy(id_col).agg(
-                F.lit(lang).alias("cand_lang"),
-                F.sum(F.col("tok").isin(words).cast("long")).alias("hits"),
-            )
-        )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out
+def lang_hits(text_col: str = "text") -> dict[str, Column]:
+    """Per-language stopword-hit counts as pure column expressions over the
+    token array — no explode, no aggregation."""
+    toks = tokens(text_col)
+    return {
+        lang: F.size(F.filter(toks, lambda x: x.isin(words)))  # noqa: B023
+        for lang, words in STOPWORDS.items()
+    }
 
 
 def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Predicted language = argmax stopword hits, ties → lexicographically
-    smallest lang (deterministic composite key, portable to the oracle)."""
-    scores = lang_scores(docs, id_col, text_col)
-    pred = scores.groupBy(id_col).agg(
-        F.expr(
-            "min_by(cand_lang, concat(lpad(cast(1000000 - hits as string), 7, '0'), cand_lang))"
-        ).alias("pred_lang"),
-        F.max("hits").alias("best_hits"),
+    smallest lang (deterministic composite key, portable to the oracle).
+
+    Single narrow projection, ZERO shuffles: hits per language are array
+    expressions on the row, argmax is array_min over composite
+    `lpad(1e6-hits)||lang` keys. (Replaces the previous 8-unioned-groupBys
+    formulation — 8 aggregation passes over the exploded token stream.)"""
+    hits = lang_hits(text_col)
+    keyed = F.array(
+        *[
+            F.concat(F.lpad((F.lit(1000000) - h).cast("string"), 7, "0"), F.lit(lang))
+            for lang, h in hits.items()
+        ]
     )
-    return pred.join(docs.select(id_col, F.col("lang").alias("label_lang")), id_col).withColumn(
-        "match", F.col("pred_lang") == F.col("label_lang")
-    )
+    best = F.array_min(keyed)
+    return docs.select(
+        id_col,
+        F.substring(best, 8, 10).alias("pred_lang"),
+        (F.lit(1000000) - F.substring(best, 1, 7).cast("long")).alias("best_hits"),
+        F.col("lang").alias("label_lang"),
+    ).withColumn("match", F.col("pred_lang") == F.col("label_lang"))
 
 
 def quality_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

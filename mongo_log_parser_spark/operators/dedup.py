@@ -66,32 +66,45 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
-def minhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def minhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                       n_minhashes: int = N_MINHASHES) -> DataFrame:
     """MinHash: h_j(doc) = min over shingles of md5(j || ':' || shingle).
 
-    The min is over hex strings (binary collation) — engine-portable."""
+    The min is over hex strings (binary collation) — engine-portable.
+    `n_minhashes` is the signature width: the module default (8) keeps the
+    oracle-checked contract cheap; production near-dup at Jaccard ~0.8 wants
+    128+ permutations (see test_minhash_realistic_params for the band math at
+    128/32)."""
     sh = shingles(docs, id_col, text_col)
     hashes = [
         F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"h{j}")
-        for j in range(N_MINHASHES)
+        for j in range(n_minhashes)
     ]
     sig = sh.groupBy(id_col).agg(*hashes)
     return sig.withColumn(
-        "signature", F.concat_ws("|", *[F.col(f"h{j}") for j in range(N_MINHASHES)])
+        "signature", F.concat_ws("|", *[F.col(f"h{j}") for j in range(n_minhashes)])
     )
 
 
-def lsh_bands(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Banding: band key = md5(h_{2b} || h_{2b+1}) for b in 0..BANDS-1."""
-    sig = minhash_signatures(docs, id_col, text_col)
-    r = N_MINHASHES // LSH_BANDS
+def lsh_bands(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+              n_minhashes: int = N_MINHASHES, n_bands: int = LSH_BANDS) -> DataFrame:
+    """Banding: band key = md5 of the band's r = n/b consecutive minhashes.
+
+    LSH S-curve: a pair with Jaccard s collides in ≥1 band with probability
+    1-(1-s^r)^b; the ~50% knee sits at s ≈ (1/b)^(1/r). Defaults (8/4 → r=2,
+    knee 0.5) match JACCARD_THRESHOLD; a production 128/32 → r=4 puts the
+    knee at 0.42 with a much sharper curve."""
+    if n_minhashes % n_bands:
+        raise ValueError(f"n_minhashes={n_minhashes} not divisible by n_bands={n_bands}")
+    sig = minhash_signatures(docs, id_col, text_col, n_minhashes=n_minhashes)
+    r = n_minhashes // n_bands
     bands = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band_id"),
                 F.md5(F.concat(*[F.col(f"h{b * r + i}") for i in range(r)])).alias("band_key"),
             )
-            for b in range(LSH_BANDS)
+            for b in range(n_bands)
         ]
     )
     return sig.select(id_col, F.explode(bands).alias("band")).select(
@@ -99,9 +112,10 @@ def lsh_bands(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
-def lsh_candidates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def lsh_candidates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                   n_minhashes: int = N_MINHASHES, n_bands: int = LSH_BANDS) -> DataFrame:
     """Distinct candidate pairs sharing any (band_id, band_key) bucket."""
-    b = lsh_bands(docs, id_col, text_col)
+    b = lsh_bands(docs, id_col, text_col, n_minhashes=n_minhashes, n_bands=n_bands)
     left = b.select(F.col(id_col).alias("id_a"), "band_id", "band_key")
     right = b.select(F.col(id_col).alias("id_b"), "band_id", "band_key")
     pairs = left.join(right, ["band_id", "band_key"]).filter(F.col("id_a") < F.col("id_b"))

@@ -84,21 +84,30 @@ def run_resumable(spark: SparkSession, pages_path: str, out_dir: str,
         # day-partition pruning: the filter reaches the scan (partition values
         # derive from warc_ts min/max per row group → parquet stats pruning)
         day_pages = pages.filter(F.col("day") == day).drop("day")
-        streams = route.split_streams(day_pages)
-        kept_dir = os.path.join(out_dir, "kept", f"day={day}")
-        ops_dir = os.path.join(out_dir, "ops", f"day={day}")
-        _atomic_write(streams["kept"], kept_dir)
-        _atomic_write(streams["ops"], ops_dir)
+        # route/parse counters ride the WRITE jobs as observe() metrics — the
+        # commit is exactly 2 jobs per partition (kept write incl. the one
+        # Arrow parse, then ops write off the committed kept), with no
+        # separate count re-reads.
+        from pyspark.sql import Observation
+
         text = F.col("text")
-        counts = day_pages.agg(
+        obs_in, obs_kept, obs_ops = Observation(), Observation(), Observation()
+        observed = day_pages.observe(
+            obs_in,
             F.count(F.lit(1)).alias("rows_in"),
             F.sum(prefilter.is_oversized(text).cast("long")).alias("oversized"),
             F.sum((~prefilter.is_oversized(text) & prefilter.should_ignore(text)).cast("long")).alias("ignored"),
-        ).collect()[0]
-        kept_n = spark.read.parquet(kept_dir).count()
-        ops_n = spark.read.parquet(ops_dir).count()
+        )
+        streams = route.split_streams(observed)
+        kept_dir = os.path.join(out_dir, "kept", f"day={day}")
+        ops_dir = os.path.join(out_dir, "ops", f"day={day}")
+        _atomic_write(streams["kept"].observe(obs_kept, F.count(F.lit(1)).alias("kept")), kept_dir)
+        ops = route.extract_ops(spark.read.parquet(kept_dir))  # no re-parse
+        _atomic_write(ops.observe(obs_ops, F.count(F.lit(1)).alias("ops")), ops_dir)
+        c_in, kept_n, ops_n = obs_in.get, obs_kept.get, obs_ops.get
         row = spark.createDataFrame(
-            [(day, run_id, counts["rows_in"], counts["oversized"], counts["ignored"], kept_n, ops_n)],
+            [(day, run_id, c_in["rows_in"], c_in["oversized"], c_in["ignored"],
+              kept_n["kept"], ops_n["ops"])],
             "day string, lineage_id string, rows_in long, oversized long, ignored long, kept long, ops long",
         )
         # manifest append is the commit point (after data rename — idempotent)

@@ -65,6 +65,40 @@ def test_media_resize_stage(spark):
     assert all(bytes(r["resized"]) == again[r["url"]] for r in rows)
 
 
+def test_minhash_realistic_params(spark):
+    """Band math at production scale (128 permutations, 32 bands, r=4):
+    signature width, divisibility guard, and the LSH recall property — every
+    constructed near-duplicate pair (one token dropped → Jaccard >> knee 0.42)
+    must be a candidate. Runs on a 40-doc subset; the oracle-checked contract
+    stays at the cheap 8/4 defaults."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from mongo_log_parser_spark.operators import dedup
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text").filter(F.length("text") > 120).limit(20)
+    )
+    # near-dup twin: drop the first token (high Jaccard on 3-gram shingles)
+    twins = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.regexp_replace("text", r"^\S+\s+", "").alias("text"),
+    )
+    corpus = docs.unionByName(twins)
+
+    sig = dedup.minhash_signatures(corpus, n_minhashes=128)
+    assert len([c for c in sig.columns if c.startswith("h")]) == 128
+    with _pytest.raises(ValueError):
+        dedup.lsh_bands(corpus, n_minhashes=128, n_bands=7)
+
+    cand = {(r["id_a"], r["id_b"])
+            for r in dedup.lsh_candidates(corpus, n_minhashes=128, n_bands=32).collect()}
+    expected = {(r["doc_id"], r["doc_id"] + 100000) for r in docs.collect()}
+    missing = expected - cand
+    assert not missing, f"near-dup twins missed by 128/32 LSH: {missing}"
+
+
 def test_lsh_candidates_superset_of_neardups(spark):
     """Every verified near-dup pair must come from the candidate set."""
     from mongo_log_parser_spark.operators import dedup
