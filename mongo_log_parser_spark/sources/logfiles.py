@@ -3,9 +3,11 @@
 The reference's native input is files of MongoDB structured-log lines, plain
 or gzip/zip (LogParser.createReader, LogParser.java:793-808; MIME sniff 597).
 Spark/Hadoop reads .gz text transparently (S2 — no codec logic needed); zip
-is not a Hadoop-splittable codec, so .zip inputs should be unpacked upstream
-(documented divergence — the reference's ZipInputStream reads only the first
-entry anyway).
+is not a Hadoop codec, so read_log_files routes .zip paths through a
+binaryFile + mapInPandas unzip (read_zip_log_files) that decodes EVERY
+archive entry — strictly more than the reference, whose ZipInputStream never
+calls getNextEntry() and therefore reads zero lines from a zip
+(LogParser.java:801-804).
 
 read_log_files() produces a pages-shaped DataFrame so the entire pipeline
 (route/extract/aggregate) runs unchanged on real log files:
@@ -27,10 +29,57 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
+def read_zip_log_files(spark: SparkSession, paths: list[str],
+                       limit_per_file: int | None = None) -> DataFrame:
+    """S2 zip — one Arrow batch row per archive; every entry's lines emitted.
+
+    Zip archives are not splittable, so (like the reference) parallelism is
+    per-file; binaryFile caps single files at 2 GiB — split larger archives
+    upstream. Line numbers here are true per-file positions (the unzip is
+    already a per-file sequential read, so they're free)."""
+    import io
+    import zipfile
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    limit = limit_per_file
+
+    def unzip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for path, content in zip(pdf["path"], pdf["content"]):
+                rows, lineno = [], 0
+                with zipfile.ZipFile(io.BytesIO(content)) as zf:
+                    for name in zf.namelist():
+                        if name.endswith("/"):
+                            continue
+                        with zf.open(name) as fh:
+                            for raw in io.TextIOWrapper(fh, encoding="utf-8", errors="replace"):
+                                lineno += 1
+                                if limit is not None and lineno > limit:
+                                    break
+                                rows.append([path, lineno, raw.rstrip("\n").rstrip("\r")])
+                        if limit is not None and lineno > limit:
+                            break
+                yield pd.DataFrame(rows, columns=["_file", "_lineno", "value"])
+
+    binary = spark.read.format("binaryFile").load(paths).select("path", "content")
+    return binary.mapInPandas(unzip, "_file string, _lineno long, value string")
+
+
 def read_log_files(spark: SparkSession, paths: str | list[str],
                    limit_per_file: int | None = None) -> DataFrame:
     if isinstance(paths, str):
         paths = [paths]
+    zips = [p for p in paths if p.endswith(".zip")]
+    texts = [p for p in paths if not p.endswith(".zip")]
+    if zips and not texts:
+        df = read_zip_log_files(spark, zips, limit_per_file)
+        return _shape_pages(df)
+    if zips:
+        return _shape_pages(read_zip_log_files(spark, zips, limit_per_file)).unionByName(
+            read_log_files(spark, texts, limit_per_file)
+        )
     df = spark.read.text(paths).withColumn("_file", F.input_file_name())
     if limit_per_file is not None:
         # --limit N needs true per-file line numbers → one window shuffle,
@@ -45,6 +94,11 @@ def read_log_files(spark: SparkSession, paths: str | list[str],
         # bottleneck. Not a contiguous per-file line number, which nothing
         # downstream requires (url is an opaque stable id + tiebreaker).
         df = df.withColumn("_lineno", F.monotonically_increasing_id())
+    return _shape_pages(df)
+
+
+def _shape_pages(df: DataFrame) -> DataFrame:
+    """(_file, _lineno, value) → the pages-shaped frame (E17 lineage cols)."""
     return df.select(
         F.concat(F.col("_file"), F.lit("#"), F.lpad(F.col("_lineno").cast("string"), 19, "0")).alias("url"),
         F.lit(None).cast("timestamp").alias("warc_ts"),

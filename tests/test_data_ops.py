@@ -65,6 +65,19 @@ def test_media_resize_stage(spark):
     assert all(bytes(r["resized"]) == again[r["url"]] for r in rows)
 
 
+def test_ann_buckets_plan_shuffle_free(spark):
+    """The Arrow hyperplane-matmul bucket stage is a narrow map: no Exchange
+    anywhere in the plan (the old posexplode×explode formulation shuffled
+    n·dims·planes rows through a groupBy)."""
+    from mongo_log_parser_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    df = similarity.ann_lsh_buckets(emb)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan or "PythonUDF" in plan
+
+
 def test_minhash_realistic_params(spark):
     """Band math at production scale (128 permutations, 32 bands, r=4):
     signature width, divisibility guard, and the LSH recall property — every

@@ -54,6 +54,70 @@ def test_read_log_files_plain_and_gzip(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_read_zip_log_files(spark):
+    """S2 zip: binaryFile + mapInPandas unzip reads EVERY archive entry
+    (the reference's ZipInputStream never calls getNextEntry, so it reads
+    zero lines from a zip — LogParser.java:801-804; working here)."""
+    import zipfile
+
+    tmp = tempfile.mkdtemp(prefix="mlp-zip-", dir="/root/repo/data")
+    try:
+        texts = [
+            r["text"]
+            for r in spark.read.parquet(datagen.ensure_pages(0.001)).select("text").limit(300).collect()
+        ]
+        zpath = os.path.join(tmp, "cluster0-shard-05-06.log.zip")
+        with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
+            zf.writestr("node-a.log", "\n".join(texts[:120]))
+            zf.writestr("node-b.log", "\n".join(texts[120:250]))
+        df = logfiles.read_log_files(spark, [zpath])
+        assert df.count() == 250  # both entries, not just the first
+        assert df.select("url").distinct().count() == 250
+        assert {(r["shard"], r["node"]) for r in df.select("shard", "node").distinct().collect()} == {("05", "06")}
+        # mixed zip + plain in one call
+        plain = os.path.join(tmp, "extra.log")
+        with open(plain, "w") as f:
+            f.write("\n".join(texts[250:300]))
+        both = logfiles.read_log_files(spark, [zpath, plain])
+        assert both.count() == 300
+        # per-file limit applies inside the archive too
+        assert logfiles.read_log_files(spark, [zpath], limit_per_file=40).count() == 40
+        # pipeline runs on it
+        from mongo_log_parser_spark.operators import route
+
+        assert route.split_streams(df)["ops"].count() > 0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_garbage_input_probe(spark):
+    """Broken JSON / NULL / empty / binary-junk text must not throw anywhere
+    in split_streams — invalid JSON drops like the reference's parse-error
+    counter; NULL/empty lines route to ignored (non-JSON)."""
+    from mongo_log_parser_spark.operators import route
+
+    rows = [
+        ("u1", '{"t":{"$date":"2025-01-01T00:00:00.000+00:00"},"c":"COMMAND","msg":"Slow query","attr":{"ns":"db.c","command":{"find":"c"},"durationMillis":5}}'),
+        ("u2", '{"truncated json...'),
+        ("u3", ""),
+        ("u4", None),
+        ("u5", "\x00\xff not json at all"),
+        ("u6", "{}"),
+        ("u7", '{"t":"not-an-object","c":"COMMAND","msg":"Slow query","attr":{"find":1}}'),
+        ("u8", "x" * (1024 * 1024 + 10)),  # oversized
+    ]
+    pages = spark.createDataFrame(rows, "url string, text string").selectExpr(
+        "url", "cast(null as timestamp) warc_ts", "cast(null as binary) html", "text",
+        "cast(null as string) lang",
+    )
+    s = route.split_streams(pages)
+    counts = {k: s[k].count() for k in ("oversized", "ignored", "kept", "ops", "errors")}
+    assert counts["oversized"] == 1
+    assert counts["kept"] >= 1  # u1 parses
+    # nothing threw; every input line landed somewhere sane
+    assert counts["ignored"] + counts["kept"] + counts["oversized"] >= 7
+
+
 def test_logfilter_cli(spark):
     """§3.3 standalone LogFilter: read.text → trim UDF → write.text."""
     import glob as _glob
