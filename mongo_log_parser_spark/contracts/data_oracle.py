@@ -229,6 +229,20 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 """
 
 
+def q_embedding_neardup(threshold: float = 0.2) -> str:
+    # CAST to DOUBLE[] — without it DuckDB dots in float32 and diverges from
+    # Spark's double fold at the 6dp rounding boundary
+    cos = ("round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) / "
+           "(sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) * "
+           "sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6)")
+    return f"""WITH {_BUCKETS_CTE},
+v AS (SELECT e.*, bk.bucket FROM embeddings e JOIN buckets bk USING (vec_id))
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cosine
+FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {cos} >= {threshold}
+"""
+
+
 def q_token_counts() -> str:
     return f"""
 SELECT doc_id,
@@ -330,6 +344,7 @@ def oracles(sf: float = 0.01) -> dict[str, str]:
         "sim_cosine_topk": q_cosine_topk(),
         "sim_ann_buckets": q_ann_buckets(),
         "sim_ann_lsh_topk": q_ann_lsh_topk(),
+        "dedup_embedding_neardup": q_embedding_neardup(),
         "text_token_counts": q_token_counts(),
         "text_lang_id": q_lang_id(),
         "text_quality_scores": q_quality_scores(),

@@ -114,6 +114,11 @@ def q_ann_lsh_topk(spark, sf_dir):
     return similarity.ann_lsh_topk(_t(spark, sf_dir, "embeddings"))
 
 
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (bucket-join + exact-cosine verify)."""
+    return similarity.embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"))
+
+
 # -------------------------------------------------------------- text stats
 
 def q_token_counts(spark, sf_dir):
@@ -160,6 +165,7 @@ DATA_QUERIES = {
     "sim_cosine_topk": q_cosine_topk,
     "sim_ann_buckets": q_ann_buckets,
     "sim_ann_lsh_topk": q_ann_lsh_topk,
+    "dedup_embedding_neardup": q_embedding_neardup,
     "text_token_counts": q_token_counts,
     "text_lang_id": q_lang_id,
     "text_quality_scores": q_quality_scores,

@@ -180,7 +180,15 @@ def _node_type(tags) -> str:
     return ""
 
 
-def _parse_row(line: str, out: dict) -> None:  # noqa: C901 — one grammar, one parser
+_ATTR_COMPILED = [(n, {"s": _S, "l": _L, "b": _B}[k], key) for n, k, key in _ATTR_SCALARS]
+_ALL_FIELD_NAMES = ([n for n, _ in _ENV_FIELDS] + ["cmd_keys"]
+                    + [n for n, _, _k in _ATTR_SCALARS] + [n for n, _ in _DERIVED_FIELDS])
+
+
+def _parse_row(line: str, app: dict) -> None:  # noqa: C901 — one grammar, one parser
+    """`app` maps column name → that column's list.append, prebound once per
+    Arrow batch (parse_lines) — saves two lookups per field per row on the
+    hottest loop in the engine."""
     try:
         jo = _loads(line)
         if not isinstance(jo, dict):
@@ -188,40 +196,35 @@ def _parse_row(line: str, out: dict) -> None:  # noqa: C901 — one grammar, one
     except Exception:
         jo = None  # parse errors are skipped, LogParserTask.java:127-137
     if jo is None:
-        for name, _ in _ENV_FIELDS:
-            out[name].append(None)
-        out["cmd_keys"].append(None)
-        for name, _, _k in _ATTR_SCALARS:
-            out[name].append(None)
-        for name, _ in _DERIVED_FIELDS:
-            out[name].append(None)
+        for name in _ALL_FIELD_NAMES:
+            app[name](None)
         return
 
     t = jo.get("t")
-    out["ts_str"].append(_S(t.get("$date")) if isinstance(t, dict) else None)
-    out["comp"].append(_S(jo.get("c")))
-    out["ctx"].append(_S(jo.get("ctx")))
-    out["msg"].append(_S(jo.get("msg")))
+    app["ts_str"](_S(t.get("$date")) if isinstance(t, dict) else None)
+    app["comp"](_S(jo.get("c")))
+    app["ctx"](_S(jo.get("ctx")))
+    app["msg"](_S(jo.get("msg")))
 
     attr = jo.get("attr")
     has_attr = isinstance(attr, dict)
     a = attr if has_attr else {}
-    conv = {"s": _S, "l": _L, "b": _B}
-    for name, kind, key in _ATTR_SCALARS:
-        out[name].append(conv[kind](a.get(key)))
-    out["has_attr"].append(has_attr)
+    a_get = a.get
+    for name, fn, key in _ATTR_COMPILED:
+        app[name](fn(a_get(key)))
+    app["has_attr"](has_attr)
 
     err = a.get("error")
     if isinstance(err, dict):
-        out["has_error_obj"].append(True)
-        out["err_code_name"].append(_S(err.get("codeName")))
-        out["err_code"].append(_L(err.get("code")))
-        out["err_errmsg"].append(_S(err.get("errmsg")))
+        app["has_error_obj"](True)
+        app["err_code_name"](_S(err.get("codeName")))
+        app["err_code"](_L(err.get("code")))
+        app["err_errmsg"](_S(err.get("errmsg")))
     else:
-        out["has_error_obj"].append(False)
-        out["err_code_name"].append(None)
-        out["err_code"].append(None)
-        out["err_errmsg"].append(None)
+        app["has_error_obj"](False)
+        app["err_code_name"](None)
+        app["err_code"](None)
+        app["err_errmsg"](None)
 
     # storage.bytesRead else storage.data.bytesRead (LogParserTask.java:1015-1038)
     st = a.get("storage")
@@ -232,43 +235,43 @@ def _parse_row(line: str, out: dict) -> None:  # noqa: C901 — one grammar, one
         if isinstance(d, dict):
             br = br if br is not None else _L(d.get("bytesRead"))
             bw = bw if bw is not None else _L(d.get("bytesWritten"))
-    out["a_bytes_read"].append(br)
-    out["a_bytes_written"].append(bw)
+    app["a_bytes_read"](br)
+    app["a_bytes_written"](bw)
 
     params = a.get("parameters")
-    out["a_txn_retry_counter"].append(_L(params.get("txnRetryCounter")) if isinstance(params, dict) else None)
+    app["a_txn_retry_counter"](_L(params.get("txnRetryCounter")) if isinstance(params, dict) else None)
 
     doc = a.get("doc")
     drv = doc.get("driver") if isinstance(doc, dict) else None
     osd = doc.get("os") if isinstance(doc, dict) else None
-    out["drv_name"].append(_S(drv.get("name")) if isinstance(drv, dict) else None)
-    out["drv_version"].append(_S(drv.get("version")) if isinstance(drv, dict) else None)
-    out["os_type"].append(_S(osd.get("type")) if isinstance(osd, dict) else None)
-    out["os_name"].append(_S(osd.get("name")) if isinstance(osd, dict) else None)
-    out["platform"].append(_S(doc.get("platform")) if isinstance(doc, dict) else None)
+    app["drv_name"](_S(drv.get("name")) if isinstance(drv, dict) else None)
+    app["drv_version"](_S(drv.get("version")) if isinstance(drv, dict) else None)
+    app["os_type"](_S(osd.get("type")) if isinstance(osd, dict) else None)
+    app["os_name"](_S(osd.get("name")) if isinstance(osd, dict) else None)
+    app["platform"](_S(doc.get("platform")) if isinstance(doc, dict) else None)
     comps = a.get("negotiatedCompressors")
-    out["compressors"].append(
+    app["compressors"](
         ",".join(sorted(c for c in comps if isinstance(c, str))) if isinstance(comps, list) else None
     )
 
     cmd = a.get("command")
     if isinstance(cmd, dict):
-        out["cmd_keys"].append(list(cmd.keys()))  # document order — dispatch source
+        app["cmd_keys"](list(cmd.keys()))  # document order — dispatch source
         first_other = None
         for k in cmd.keys():  # processOtherOperations, LogParserTask.java:921-948
             if k.startswith("_shardsv") or k in _ADMIN_SET:
                 first_other = k
                 break
-        out["cmd_first_other"].append(first_other)
+        app["cmd_first_other"](first_other)
         for key in ("find", "aggregate", "findAndModify", "update", "insert",
                     "delete", "collection", "count", "distinct"):
             # collection-name override requires a String value (instanceof
             # String guard, LogParserTask.java:806-914)
-            out[f"cmd_{key}"].append(_S(cmd.get(key)))
+            app[f"cmd_{key}"](_S(cmd.get(key)))
         f = cmd.get("filter")
-        out["cmd_filter_raw"].append(_dumps(f) if isinstance(f, dict) else None)
+        app["cmd_filter_raw"](_dumps(f) if isinstance(f, dict) else None)
         q = cmd.get("q")
-        out["cmd_q_raw"].append(_dumps(q) if isinstance(q, dict) else None)
+        app["cmd_q_raw"](_dumps(q) if isinstance(q, dict) else None)
         match = None
         pipe = cmd.get("pipeline")
         if isinstance(pipe, list):
@@ -278,25 +281,25 @@ def _parse_row(line: str, out: dict) -> None:  # noqa: C901 — one grammar, one
                     if isinstance(m, dict):
                         match = _dumps(m)
                         break
-        out["match_raw"].append(match)
+        app["match_raw"](match)
     else:
-        out["cmd_keys"].append(None)
-        out["cmd_first_other"].append(None)
+        app["cmd_keys"](None)
+        app["cmd_first_other"](None)
         for key in ("find", "aggregate", "findAndModify", "update", "insert",
                     "delete", "collection", "count", "distinct"):
-            out[f"cmd_{key}"].append(None)
-        out["cmd_filter_raw"].append(None)
-        out["cmd_q_raw"].append(None)
-        out["match_raw"].append(None)
+            app[f"cmd_{key}"](None)
+        app["cmd_filter_raw"](None)
+        app["cmd_q_raw"](None)
+        app["match_raw"](None)
 
     orig = a.get("originatingCommand")
     orig = orig if isinstance(orig, dict) else None
     of = orig.get("filter") if orig else None
-    out["orig_filter_raw"].append(_dumps(of) if isinstance(of, dict) else None)
+    app["orig_filter_raw"](_dumps(of) if isinstance(of, dict) else None)
     ocs = False
     if orig and isinstance(orig.get("pipeline"), list):
         ocs = any(isinstance(s, dict) and "$changeStream" in s for s in orig["pipeline"])
-    out["orig_has_changestream"].append(ocs)
+    app["orig_has_changestream"](ocs)
 
     # read preference: command value, originatingCommand fallback when no mode
     # was resolved (LogParserTask.java:446-558)
@@ -317,12 +320,12 @@ def _parse_row(line: str, out: dict) -> None:  # noqa: C901 — one grammar, one
             mode = _S(orp.get("mode"))
     if tags_fmt is None and isinstance(orp, dict) and "tags" in orp:
         tags_fmt = _fmt_tags(orp.get("tags"))
-    out["rp_mode"].append(mode)
-    out["rp_tags"].append(tags_fmt)
+    app["rp_mode"](mode)
+    app["rp_tags"](tags_fmt)
     tags_src = rp.get("tags") if isinstance(rp, dict) and "tags" in rp else (
         orp.get("tags") if isinstance(orp, dict) and "tags" in orp else None
     )
-    out["rp_node_type"].append(_node_type(tags_src) if tags_src is not None else None)
+    app["rp_node_type"](_node_type(tags_src) if tags_src is not None else None)
 
 
 def parse_lines(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -331,16 +334,16 @@ def parse_lines(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     passthrough = [c for c in df.columns if c in _PASSTHROUGH]
     schema = parsed_schema(df.schema)
-    all_out = ([n for n, _ in _ENV_FIELDS] + ["cmd_keys"]
-               + [n for n, _, _k in _ATTR_SCALARS] + [n for n, _ in _DERIVED_FIELDS])
+    all_out = _ALL_FIELD_NAMES
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
         for pdf in batches:
             out: dict[str, list] = {n: [] for n in all_out}
+            app = {n: out[n].append for n in all_out}
             for line in pdf[text_col].tolist():
-                _parse_row(line if isinstance(line, str) else "", out)
+                _parse_row(line if isinstance(line, str) else "", app)
             # object-dtype numpy arrays: ~8x faster than pd.DataFrame(dict)
             # column inference for these mixed None/scalar columns
             cols = {}

@@ -118,6 +118,28 @@ def ann_lsh_buckets(vecs: DataFrame, id_col: str = "vec_id", vec_col: str = "emb
     return vecs.select(id_col, bucket_udf(F.col(vec_col)).alias("bucket"))
 
 
+def embedding_neardup_pairs(vecs: DataFrame, threshold: float = 0.2,
+                            id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: candidates from the same LSH
+    bucket (O(Σ bucket²) pairs, never all-pairs), verified by exact cosine ≥
+    threshold. The dedup-by-embedding path of a training-data pipeline —
+    production near-dup uses ~0.9-0.95; the synthetic test embeddings are
+    near-orthogonal (max in-bucket cosine ≈0.41 at sf0.001) so the contract
+    default is 0.2. Threshold is a parameter, not logic."""
+    b = ann_lsh_buckets(vecs, id_col, vec_col)
+    v = vecs.join(b, id_col)
+    left = v.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), "bucket")
+    right = v.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), "bucket")
+    pairs = left.join(right, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    scored = pairs.select(
+        "id_a", "id_b",
+        F.round(
+            _dot(F.col("vec_a"), F.col("vec_b")) / (_norm(F.col("vec_a")) * _norm(F.col("vec_b"))), 6
+        ).alias("cosine"),
+    )
+    return scored.filter(F.col("cosine") >= threshold)
+
+
 def ann_bucket_histogram(vecs: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     return ann_lsh_buckets(vecs, id_col, vec_col).groupBy("bucket").agg(
         F.count(F.lit(1)).alias("count")
