@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from ..functions.textstats import EN_STOPWORDS, FINGERPRINT_P, PUNCT_CHARS, STOPWORDS
 from ..operators.dedup import JACCARD_THRESHOLD, LSH_BANDS, N_MINHASHES, NGRAM_W, SHINGLE_W
-from ..operators.similarity import HP_MOD, N_HYPERPLANES
+from ..operators.similarity import HP_MOD, N_HYPERPLANES, N_LISTS, N_PROBE
 from ..sources import datagen
 
 TOKENS = r"regexp_split_to_array(trim(lower(text)), '\s+')"
@@ -229,6 +229,60 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 """
 
 
+_IVF_CENT_COS = (
+    "round(list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cvec)"
+    " / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))"
+    " * sqrt(list_dot_product(c.cvec, c.cvec))), 6)"
+)
+
+# IVF CTEs: seed centroids = vectors with id < N_LISTS (row == list),
+# assignment = argmax rounded cosine (ties -> lowest list_id), exactly the
+# semantics of similarity.ivf_assign's numpy argmax over the rounded matrix.
+_IVF_CTE = f"""
+cents AS (
+  SELECT CAST(vec_id AS INT) AS list_id, CAST(embedding AS DOUBLE[]) AS cvec
+  FROM embeddings WHERE vec_id < {N_LISTS}
+),
+cscored AS (
+  SELECT e.vec_id, c.list_id, {_IVF_CENT_COS} AS cent_cosine
+  FROM embeddings e CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, list_id, cent_cosine FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cent_cosine DESC, list_id ASC) AS rn
+    FROM cscored
+  ) WHERE rn = 1
+)"""
+
+
+def q_ivf_assign() -> str:
+    return f"WITH {_IVF_CTE}\nSELECT vec_id, list_id, cent_cosine FROM assign"
+
+
+def q_ivf_topk(n_queries: int = 10, k: int = 5, nprobe: int = N_PROBE) -> str:
+    return f"""WITH {_IVF_CTE},
+probes AS (
+  SELECT vec_id AS query_id, list_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cent_cosine DESC, list_id ASC) AS rn
+    FROM cscored WHERE vec_id < {n_queries}
+  ) WHERE rn <= {nprobe}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM assign a JOIN probes p USING (list_id) WHERE a.vec_id != p.query_id
+),
+q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < {n_queries}),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id, {_COSINE} AS cosine
+  FROM cand JOIN q USING (query_id) JOIN embeddings e ON e.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
 def q_embedding_neardup(threshold: float = 0.2) -> str:
     # CAST to DOUBLE[] — without it DuckDB dots in float32 and diverges from
     # Spark's double fold at the 6dp rounding boundary
@@ -344,6 +398,8 @@ def oracles(sf: float = 0.01) -> dict[str, str]:
         "sim_cosine_topk": q_cosine_topk(),
         "sim_ann_buckets": q_ann_buckets(),
         "sim_ann_lsh_topk": q_ann_lsh_topk(),
+        "sim_ivf_assign": q_ivf_assign(),
+        "sim_ivf_topk": q_ivf_topk(),
         "dedup_embedding_neardup": q_embedding_neardup(),
         "text_token_counts": q_token_counts(),
         "text_lang_id": q_lang_id(),

@@ -119,6 +119,16 @@ def q_embedding_neardup(spark, sf_dir):
     return similarity.embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"))
 
 
+def q_ivf_assign(spark, sf_dir):
+    """IVF coarse-quantizer assignment (Arrow matmul, zero shuffle)."""
+    return similarity.ivf_assign(_t(spark, sf_dir, "embeddings"))
+
+
+def q_ivf_topk(spark, sf_dir):
+    """IVF ANN search: exact cosine top-k within the nprobe probed lists."""
+    return similarity.ivf_topk(_t(spark, sf_dir, "embeddings"))
+
+
 # -------------------------------------------------------------- text stats
 
 def q_token_counts(spark, sf_dir):
@@ -165,6 +175,8 @@ DATA_QUERIES = {
     "sim_cosine_topk": q_cosine_topk,
     "sim_ann_buckets": q_ann_buckets,
     "sim_ann_lsh_topk": q_ann_lsh_topk,
+    "sim_ivf_assign": q_ivf_assign,
+    "sim_ivf_topk": q_ivf_topk,
     "dedup_embedding_neardup": q_embedding_neardup,
     "text_token_counts": q_token_counts,
     "text_lang_id": q_lang_id,

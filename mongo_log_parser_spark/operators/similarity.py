@@ -165,3 +165,178 @@ def ann_lsh_topk(vecs: DataFrame, n_queries: int = 10, k: int = 5,
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# --------------------------------------------------------------- IVF index
+
+# IVF (inverted-file) ANN: a coarse quantizer partitions the corpus into
+# n_lists inverted lists; a query probes only its nprobe nearest lists, so
+# the candidate set is ~nprobe/n_lists of the corpus instead of all of it.
+# The quantizer here uses deterministic seed centroids (the vectors with
+# id < n_lists) so the index is reproducible in SQL for the DuckDB oracle;
+# ivf_refine() is the Lloyd/k-means training step you would run offline in
+# production (pytest-verified: cost non-decreasing, deterministic).
+N_LISTS = 16
+N_PROBE = 2
+
+
+def _round6_np(arr):
+    """HALF_UP at 6dp — matches Spark/DuckDB round() so summation ulp noise
+    can't flip an argmax/threshold across engines."""
+    import numpy as np
+
+    return np.sign(arr) * np.floor(np.abs(arr) * 1e6 + 0.5) / 1e6
+
+
+def collect_centroids(vecs: DataFrame, n_lists: int = N_LISTS,
+                      id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Seed centroids = the vectors with id < n_lists, as a (n_lists, dims)
+    float64 array ordered by id (row index == list_id). A k-row driver
+    collect — control plane, same shape as Spark ML's KMeansModel centers."""
+    import numpy as np
+
+    rows = vecs.filter(F.col(id_col) < n_lists).select(id_col, vec_col).collect()
+    rows.sort(key=lambda r: r[0])
+    return np.array([[float(x) for x in r[1]] for r in rows], dtype=np.float64)
+
+
+def _centroid_cosines(mat, centroids):
+    """(batch, dims) fp64 × (n_lists, dims) fp64 → rounded-6dp cosine matrix."""
+    import numpy as np
+
+    cnorm = np.sqrt((centroids * centroids).sum(axis=1))
+    vnorm = np.sqrt((mat * mat).sum(axis=1))
+    return _round6_np((mat @ centroids.T) / (vnorm[:, None] * cnorm[None, :]))
+
+
+def ivf_assign(vecs: DataFrame, n_lists: int = N_LISTS, id_col: str = "vec_id",
+               vec_col: str = "embedding", centroids=None,
+               carry_vec: bool = False) -> DataFrame:
+    """Assign each vector to its nearest-centroid inverted list.
+
+    Scale path: one Arrow-batched mapInPandas doing the (batch × dims) @
+    (dims × n_lists) matrix multiply per batch against the broadcast
+    centroid matrix — a narrow map, NO shuffle, no row blowup (the n×k
+    crossJoin+window formulation survives as the DuckDB oracle). Ties on the
+    rounded cosine go to the lowest list_id on both engines (np.argmax
+    first-occurrence == ORDER BY cosine DESC, list_id ASC)."""
+    import numpy as np
+
+    if centroids is None:
+        centroids = collect_centroids(vecs, n_lists, id_col, vec_col)
+    cents = np.ascontiguousarray(centroids, dtype=np.float64)
+
+    schema = f"{id_col} long, list_id int, cent_cosine double"
+    if carry_vec:
+        schema += f", {vec_col} array<float>"
+
+    def gen(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            cos = _centroid_cosines(mat, cents)
+            best = cos.argmax(axis=1)
+            out = {
+                id_col: pdf[id_col].to_numpy(),
+                "list_id": best.astype(np.int32),
+                "cent_cosine": cos[np.arange(len(best)), best],
+            }
+            if carry_vec:
+                out[vec_col] = pdf[vec_col]
+            yield pd.DataFrame(out)
+
+    return vecs.select(id_col, vec_col).mapInPandas(gen, schema)
+
+
+def ivf_probes(vecs: DataFrame, n_queries: int = 10, nprobe: int = N_PROBE,
+               n_lists: int = N_LISTS, id_col: str = "vec_id",
+               vec_col: str = "embedding", centroids=None) -> DataFrame:
+    """For each query vector (id < n_queries): its nprobe nearest inverted
+    lists, ranked by centroid cosine (desc, list_id asc). Same narrow-map
+    shape as ivf_assign; emits nprobe rows per query."""
+    import numpy as np
+
+    if centroids is None:
+        centroids = collect_centroids(vecs, n_lists, id_col, vec_col)
+    cents = np.ascontiguousarray(centroids, dtype=np.float64)
+
+    def gen(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            cos = _centroid_cosines(mat, cents)
+            # stable sort by (-cosine, list_id): lexsort's last key is primary
+            order = np.lexsort((np.arange(cents.shape[0])[None, :].repeat(len(mat), 0),
+                                -cos), axis=1)[:, :nprobe]
+            ids = pdf[id_col].to_numpy()
+            yield pd.DataFrame({
+                "query_id": np.repeat(ids, order.shape[1]),
+                "list_id": order.reshape(-1).astype(np.int32),
+                "probe_rank": np.tile(np.arange(1, order.shape[1] + 1, dtype=np.int32), len(ids)),
+            })
+
+    return (vecs.filter(F.col(id_col) < n_queries)
+                .select(id_col, vec_col)
+                .mapInPandas(gen, "query_id long, list_id int, probe_rank int"))
+
+
+def ivf_topk(vecs: DataFrame, n_queries: int = 10, k: int = 5,
+             nprobe: int = N_PROBE, n_lists: int = N_LISTS,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             centroids=None) -> DataFrame:
+    """IVF ANN search: exact cosine top-k restricted to the query's nprobe
+    probed lists. Candidate volume ≈ nprobe/n_lists of the corpus; the probe
+    table (n_queries × nprobe rows) is broadcast, so the only wide operation
+    is the final per-query top-k window over candidates."""
+    if centroids is None:
+        centroids = collect_centroids(vecs, n_lists, id_col, vec_col)
+    assigned = ivf_assign(vecs, n_lists, id_col, vec_col, centroids=centroids,
+                          carry_vec=True)
+    probes = ivf_probes(vecs, n_queries, nprobe, n_lists, id_col, vec_col,
+                        centroids=centroids)
+    queries = vecs.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("qvec"))
+    probes_q = probes.join(queries, probes["query_id"] == queries["q_id"]).drop("q_id")
+    cand = assigned.join(F.broadcast(probes_q), "list_id").filter(
+        F.col(id_col) != F.col("query_id"))
+    scored = cand.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.round(_dot(F.col(vec_col), F.col("qvec"))
+                / (_norm(F.col(vec_col)) * _norm(F.col("qvec"))), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_refine(vecs: DataFrame, n_lists: int = N_LISTS, iters: int = 2,
+               id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Lloyd/k-means refinement of the IVF coarse quantizer: assign (narrow
+    Arrow map) → per-list mean (posexplode + groupBy(list,dim) avg — ONE
+    shuffle of n×dims skinny rows per iteration, k×dims collected to the
+    driver, same control-plane shape as Spark ML KMeans). Empty lists keep
+    their previous centroid. Centroids are rounded to 6dp each iteration so
+    the trained index is reproducible. Returns (centroids, mean_cosine_hist).
+
+    Offline training step (production would run this once and persist the
+    centroids); not part of the oracle contract — pytest asserts the mean
+    assigned cosine is non-decreasing and the result is deterministic."""
+    import numpy as np
+
+    cents = collect_centroids(vecs, n_lists, id_col, vec_col)
+    hist = []
+    for _ in range(iters):
+        a = ivf_assign(vecs, n_lists, id_col, vec_col, centroids=cents, carry_vec=True)
+        stats = (a.select("list_id", "cent_cosine", F.posexplode(vec_col).alias("d", "x"))
+                  .groupBy("list_id", "d")
+                  .agg(F.avg("x").alias("m"), F.avg("cent_cosine").alias("c"),
+                       F.count(F.lit(1)).alias("n"))
+                  .collect())
+        hist.append(float(np.mean([r["c"] for r in stats])))
+        new = cents.copy()
+        for r in stats:
+            new[r["list_id"], r["d"]] = r["m"]
+        cents = _round6_np(new)
+    return cents, hist

@@ -27,6 +27,21 @@ def test_data_query_matches_oracle(spark, duck, data_oracles, name):
     assert_df_equals_sql(sdf, duck, data_oracles[name], name)
 
 
+def test_ivf_refine_deterministic_and_improving(spark):
+    """Lloyd refinement of the IVF quantizer: deterministic (rounded-6dp
+    centroids) and the mean assigned-centroid cosine does not degrade."""
+    from mongo_log_parser_spark.operators import similarity
+
+    vecs = spark.read.parquet(SF_DIR + "/embeddings.parquet")
+    c1, h1 = similarity.ivf_refine(vecs, iters=2)
+    c2, h2 = similarity.ivf_refine(vecs, iters=2)
+    assert (c1 == c2).all()
+    assert h1 == h2
+    assert len(h1) == 2
+    # h[0] = cost under seed centroids, h[1] = after one Lloyd update
+    assert h1[1] >= h1[0] - 1e-6
+
+
 def test_media_meta_pandas_stage(spark):
     """The mapInPandas media stage: deterministic fake decode, stable schema."""
     from mongo_log_parser_spark.functions.media import decode_media, extract_media_meta
