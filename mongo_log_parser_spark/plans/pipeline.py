@@ -63,6 +63,7 @@ def build(
     cache: bool = True,
     materialize: str = "parquet",
     workdir: str | None = None,
+    ops_checkpoint: bool = True,
 ) -> PipelineResult:
     spark = pages.sparkSession
     streams = route.split_streams(pages)
@@ -75,11 +76,21 @@ def build(
         # full mapInPandas parse over every kept line (2x parse cost; this was
         # the round-1 scaling-gate failure).
         kept_path = os.path.join(workdir, "kept")
+        kept_schema = streams["kept"].schema
         streams["kept"].write.mode("overwrite").parquet(kept_path)
-        streams["kept"] = spark.read.parquet(kept_path)
-        ops_path = os.path.join(workdir, "ops")
-        route.extract_ops(streams["kept"]).write.mode("overwrite").parquet(ops_path)
-        streams["ops"] = spark.read.parquet(ops_path)
+        # explicit schema: skips the footer-inference job on read-back
+        streams["kept"] = spark.read.schema(kept_schema).parquet(kept_path)
+        if ops_checkpoint:
+            ops_path = os.path.join(workdir, "ops")
+            ops_df = route.extract_ops(streams["kept"])
+            ops_schema = ops_df.schema
+            ops_df.write.mode("overwrite").parquet(ops_path)
+            streams["ops"] = spark.read.schema(ops_schema).parquet(ops_path)
+        else:
+            # lazy dispatch: each ops sink re-runs the JVM when-cascade over
+            # the kept checkpoint scan — trades one serial write job for a
+            # little repeated codegen work inside already-parallel scans
+            streams["ops"] = route.extract_ops(streams["kept"])
         # re-derive the side channels off the checkpointed parse
         streams.update(
             {

@@ -93,6 +93,19 @@ def test_ann_buckets_plan_shuffle_free(spark):
     assert "ArrowEvalPython" in plan or "PythonUDF" in plan
 
 
+def test_ivf_assign_plan_shuffle_free(spark):
+    """IVF assignment is one mapInPandas against the broadcast centroid
+    matrix: no Exchange anywhere in the plan (the crossJoin+window
+    formulation lives only in the DuckDB oracle)."""
+    from mongo_log_parser_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    df = similarity.ivf_assign(emb)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan or "PythonUDF" in plan
+
+
 def test_minhash_realistic_params(spark):
     """Band math at production scale (128 permutations, 32 bands, r=4):
     signature width, divisibility guard, and the LSH recall property — every
