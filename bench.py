@@ -166,8 +166,9 @@ def main() -> None:
     t_n, t_4n = min(ts_n), min(ts_4n)
     # headline throughput + per-sink timings at the requested sf, full width
     cpu_width = min(cpus, 16)  # beyond ~16 the host's SMT sharing anti-scales
-    t_head, timings = bench_at(f"local[{cpu_width}]", 16, pages_path, runs=1,
-                               with_timings=True)
+    head_runs = int(os.environ.get("SPARK_GRAFT_HEAD_RUNS", "2"))
+    t_head, timings = bench_at(f"local[{cpu_width}]", 16, pages_path,
+                               runs=head_runs, with_timings=True)
 
     thr_n = scale_pages / t_n
     thr_4n = scale_pages / t_4n
@@ -210,7 +211,7 @@ def main() -> None:
             f"| hardware envelope (pure-CPU probe, {small}->{big} procs) | {hw_eff:.3f} |\n"
             f"| north_rule gate | efficiency >= 0.8 → {'PASS' if eff >= 0.8 else 'FAIL'} |\n"
             f"| per-round seconds @ N / 4N | {[round(t, 1) for t in ts_n]} / {[round(t, 1) for t in ts_4n]} |\n\n"
-            "Per-sink wall times at 4N (seconds):\n\n"
+            f"Per-sink wall times at the headline width (local[{cpu_width}], sf{sf}; seconds):\n\n"
             + "\n".join(f"- {k}: {v}" for k, v in timings.items())
             + "\n"
         )
