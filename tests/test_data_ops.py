@@ -106,6 +106,44 @@ def test_ivf_assign_plan_shuffle_free(spark):
     assert "MapInPandas" in plan or "PythonUDF" in plan
 
 
+def test_ivf_recall_realistic_params(spark):
+    """IVF at production-shaped parameters (n_lists=32, 64-dim, nprobe=2) on
+    planted-cluster data: queries must recover their brute-force top-k
+    neighbors through the probed lists. Ids 0..31 are one seed per cluster
+    (the deterministic seed-centroid rule), the rest are in-cluster
+    perturbations — recall of in-cluster neighbors must be ≥0.9. The
+    oracle-checked contract queries stay at the cheap 16/2 defaults."""
+    import numpy as np
+
+    from mongo_log_parser_spark.operators import similarity
+
+    rng = np.random.default_rng(42)
+    n_lists, per, dims = 32, 12, 64
+    centers = rng.normal(size=(n_lists, dims))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    # ids 0..31: the cluster centers themselves (seed-centroid rule);
+    # remaining ids: center + small noise, cluster-major order
+    for c in range(n_lists):
+        rows.append((c, centers[c].astype(np.float32).tolist()))
+    nid = n_lists
+    for c in range(n_lists):
+        for _ in range(per):
+            v = centers[c] + 0.05 * rng.normal(size=dims)
+            rows.append((nid, (v / np.linalg.norm(v)).astype(np.float32).tolist()))
+            nid += 1
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    n_queries, k = 10, 5
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in similarity.cosine_topk(vecs, n_queries=n_queries, k=k).collect()}
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in similarity.ivf_topk(vecs, n_queries=n_queries, k=k,
+                                           nprobe=2, n_lists=n_lists).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"IVF recall {recall:.2f} < 0.9"
+
+
 def test_minhash_realistic_params(spark):
     """Band math at production scale (128 permutations, 32 bands, r=4):
     signature width, divisibility guard, and the LSH recall property — every
