@@ -149,7 +149,7 @@ def main() -> None:
     # when the gate still fails after the base rounds, up to RESCUE extra
     # rounds are run — more samples of the same job on the same input, all
     # reported, not a different measurement.
-    rescue = int(os.environ.get("SPARK_GRAFT_BENCH_RESCUE", "2"))
+    rescue = int(os.environ.get("SPARK_GRAFT_BENCH_RESCUE", "1"))
     ts_n, ts_4n = [], []
 
     def one_round():
