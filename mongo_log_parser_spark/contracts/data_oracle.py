@@ -54,6 +54,22 @@ FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate D
 """
 
 
+def q_cust_no_orders() -> str:
+    return """
+SELECT c_mktsegment, count(*) AS n_customers, min(c_custkey) AS min_custkey
+FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+GROUP BY c_mktsegment
+"""
+
+
+def q_pricing_rollup() -> str:
+    return """
+SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
 def q_dedup_exact() -> str:
     return """
 SELECT md5(text) AS text_hash, count(*) AS dup_count, min(doc_id) AS keeper_id
@@ -389,6 +405,8 @@ def oracles(sf: float = 0.01) -> dict[str, str]:
         "rel_top_customers": q_top_customers(),
         "rel_events_json": q_events_json(),
         "rel_orders_window": q_orders_window(),
+        "rel_cust_no_orders": q_cust_no_orders(),
+        "rel_pricing_rollup": q_pricing_rollup(),
         "dedup_exact": q_dedup_exact(),
         "dedup_minhash_signatures": q_minhash_signatures(),
         "dedup_lsh_candidates": q_lsh_candidates(),

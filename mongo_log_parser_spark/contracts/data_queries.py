@@ -73,6 +73,34 @@ def q_orders_window(spark, sf_dir):
     )
 
 
+def q_cust_no_orders(spark, sf_dir):
+    """Anti join (broadcast): customers with no finalized (status F) orders,
+    per market segment.
+    At scale the orders side stays unshuffled — LeftAnti against the
+    broadcast distinct-custkey set."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = (_t(spark, sf_dir, "orders")
+              .filter(F.col("o_orderstatus") == "F")
+              .select("o_custkey").distinct())
+    return (
+        cust.join(F.broadcast(orders), cust["c_custkey"] == orders["o_custkey"], "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"),
+             F.min("c_custkey").alias("min_custkey"))
+    )
+
+
+def q_pricing_rollup(spark, sf_dir):
+    """ROLLUP hierarchy (returnflag → linestatus) with grand total — the
+    multi-granularity aggregate a reporting sink wants in one shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_items"),
+             F.sum("l_quantity").cast("long").alias("sum_qty"))
+    )
+
+
 # ------------------------------------------------------------------ dedup
 
 def q_dedup_exact(spark, sf_dir):
@@ -166,6 +194,8 @@ DATA_QUERIES = {
     "rel_top_customers": q_top_customers,
     "rel_events_json": q_events_json,
     "rel_orders_window": q_orders_window,
+    "rel_cust_no_orders": q_cust_no_orders,
+    "rel_pricing_rollup": q_pricing_rollup,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_signatures": q_minhash_signatures,
     "dedup_lsh_candidates": q_lsh_candidates,
