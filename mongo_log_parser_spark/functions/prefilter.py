@@ -59,8 +59,10 @@ def is_ttl_line(text: Column) -> Column:
     return text.contains("TTL") & (text.contains("deleted") | text.contains("Deleted expired documents"))
 
 
-def should_ignore(text: Column) -> Column:
-    """F1-F4 composite: non-JSON, or ignore-pattern match not rescued by a whitelist."""
+def should_ignore(text: Column, ignore_patterns: list[str] | None = None) -> Column:
+    """F1-F4 composite: non-JSON, or ignore-pattern match not rescued by a
+    whitelist. `ignore_patterns` overrides the default list (FilterConfig
+    analog — see load_filter_config)."""
     non_json = ~F.ltrim(text).startswith("{")
     target_op = _contains_any(text, TARGET_OP_PATTERNS)
     client_meta = text.contains('"msg":"client metadata"')
@@ -69,7 +71,36 @@ def should_ignore(text: Column) -> Column:
         text.contains('"msg":"Connection accepted"') | text.contains('"msg":"Connection ended"')
     )
     whitelisted = target_op | client_meta | auth | conn_lifecycle
-    return non_json | (~whitelisted & _contains_any(text, IGNORE_PATTERNS))
+    pats = IGNORE_PATTERNS if ignore_patterns is None else ignore_patterns
+    return non_json | (~whitelisted & _contains_any(text, pats))
+
+
+def load_filter_config(path: str) -> list[str]:
+    """FilterConfig properties file (FilterConfig.java:77-116):
+
+      filter.ignore        = p1, p2   # REPLACES the default list
+      filter.ignore.add    = p3, p4   # adds to the current list
+      filter.ignore.remove = p1       # removes from the current list
+
+    Returns the effective ignore-pattern list for should_ignore()."""
+    props: dict[str, str] = {}
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith(("#", "!")) or "=" not in line:
+                continue
+            k, v = line.split("=", 1)
+            props[k.strip()] = v.strip()
+    patterns = list(IGNORE_PATTERNS)
+    if props.get("filter.ignore"):
+        patterns = []
+        patterns.extend(p.strip() for p in props["filter.ignore"].split(",") if p.strip())
+    if props.get("filter.ignore.add"):
+        patterns.extend(p.strip() for p in props["filter.ignore.add"].split(",") if p.strip())
+    if props.get("filter.ignore.remove"):
+        remove = {p.strip() for p in props["filter.ignore.remove"].split(",")}
+        patterns = [p for p in patterns if p not in remove]
+    return patterns
 
 
 def ignored_category(text: Column) -> Column:

@@ -26,17 +26,19 @@ from ..functions.extract import extract_ops
 from ..functions.parse import conn_id, ns_coll, ns_db, parse_lines
 
 
-def split_streams(pages: DataFrame) -> dict[str, DataFrame]:
+def split_streams(pages: DataFrame,
+                  ignore_patterns: list[str] | None = None) -> dict[str, DataFrame]:
     text = F.col("text")
     bounded = pages.filter(~prefilter.is_oversized(text))
     oversized = pages.filter(prefilter.is_oversized(text))
 
-    ignored = bounded.filter(prefilter.should_ignore(text)).withColumn(
+    ignore = prefilter.should_ignore(text, ignore_patterns)
+    ignored = bounded.filter(ignore).withColumn(
         "category", prefilter.ignored_category(text)
     )
     # html is never consumed downstream of the router — drop it before the
     # parse so the (cacheable) parsed stream doesn't carry the binary payload
-    kept_raw = bounded.filter(~prefilter.should_ignore(text)).drop("html")
+    kept_raw = bounded.filter(~ignore).drop("html")
     kept = parse_lines(kept_raw)
 
     # TTL pre-pass (processTtlOperation, LogParser.java:938-970): parse,

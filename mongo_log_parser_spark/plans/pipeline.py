@@ -64,9 +64,10 @@ def build(
     materialize: str = "parquet",
     workdir: str | None = None,
     ops_checkpoint: bool = True,
+    ignore_patterns: list[str] | None = None,
 ) -> PipelineResult:
     spark = pages.sparkSession
-    streams = route.split_streams(pages)
+    streams = route.split_streams(pages, ignore_patterns=ignore_patterns)
     if cache and materialize == "parquet":
         workdir = workdir or os.path.join(
             datagen.DATA_ROOT, "tmp", f"stage-{uuid.uuid4().hex[:8]}"

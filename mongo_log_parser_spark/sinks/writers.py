@@ -45,6 +45,38 @@ def write_csv_sinks(sinks: dict[str, DataFrame], out_dir: str) -> None:
         )
 
 
+def write_sink_csv(name: str, df: DataFrame, path: str) -> None:
+    """Single-sink CSV at an exact path (--planCacheCsv-style flags)."""
+    tmp = path + ".spark"
+    _sorted(name, df).coalesce(1).write.mode("overwrite").option("header", True).csv(tmp)
+    import glob as _glob
+    import shutil
+
+    part = _glob.glob(os.path.join(tmp, "part-*.csv"))[0]
+    shutil.move(part, path)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+# sample/raw-line columns that carry user data — what --redact processes
+REDACTABLE_COLUMNS = ("sample_line", "sample_message", "sample_auth_line",
+                      "sample_metadata_line", "text")
+
+
+def redact_sinks(sinks: dict[str, DataFrame]) -> dict[str, DataFrame]:
+    """R8 over every sample/raw-line column (the --redact flag,
+    LogParser.java:99-101): trim∘redact via the Arrow-batched UDF."""
+    from ..functions.redact import make_udfs
+
+    process = make_udfs()["process"]
+    out = {}
+    for name, df in sinks.items():
+        for c in df.columns:
+            if c in REDACTABLE_COLUMNS:
+                df = df.withColumn(c, process(F.col(c)))
+        out[name] = df
+    return out
+
+
 def write_parquet_sinks(sinks: dict[str, DataFrame], out_dir: str) -> None:
     for name, df in sinks.items():
         df.write.mode("overwrite").parquet(os.path.join(out_dir, name))
@@ -64,6 +96,8 @@ def json_report(sinks: dict[str, DataFrame], metadata: dict | None = None,
     Aggregate DataFrames are small post-groupBy; the collect here is the
     driver-side report assembly, not a data-path collect."""
     def rows(name, limit=None, sort=True):
+        if name not in sinks:  # opt-out sinks (--drivers / --app-name-stats off)
+            return []
         df = sinks[name]
         df = _sorted(name, df) if sort else df
         if limit:

@@ -218,3 +218,69 @@ def test_detector_exprs(spark):
     ).collect()
     assert [r["trunc"] for r in rows] == [True, False, False]
     assert [r["src"] for r in rows] == [" (from mongod)", " (from mongos)", " (from mongod)"]
+
+
+def test_load_filter_config(tmp_path):
+    """FilterConfig properties semantics: replace, add, remove."""
+    from mongo_log_parser_spark.functions import prefilter
+
+    p = tmp_path / "f.properties"
+    p.write_text("# comment\nfilter.ignore = a, b\nfilter.ignore.add = c\nfilter.ignore.remove = a\n")
+    assert prefilter.load_filter_config(str(p)) == ["b", "c"]
+    p.write_text("filter.ignore.add = extra-pattern\n")
+    pats = prefilter.load_filter_config(str(p))
+    assert pats[:-1] == prefilter.IGNORE_PATTERNS and pats[-1] == "extra-pattern"
+
+
+def test_job_cli_flags(spark, tmp_path):
+    """Reference-CLI parity flags end-to-end: --json-only, --drivers opt-in,
+    --redact, --config replacement semantics, --plan-cache-csv path."""
+    import json as _json
+
+    from mongo_log_parser_spark import job
+
+    out = tmp_path / "out"
+    args = job.build_parser().parse_args([
+        "--sf", "0.001", "--out", str(out), "--json-only", "--drivers", "--redact",
+    ])
+    summary = job.run_job(spark, args)
+    assert "driver_stats" in summary["sinks"]        # --drivers opt-in honored
+    assert "app_conn_stats" not in summary["sinks"]  # reference default: off
+    assert (out / "report.json").exists()
+    assert not (out / "sinks").exists()              # --json-only skips parquet
+    report = _json.load(open(out / "report.json"))
+    samples = [r.get("sample_line") or "" for r in report["mainOperations"]]
+    assert samples and all(s.startswith("{") for s in samples if s)  # R8 keeps JSON
+
+    # custom filter config REPLACING the pattern list changes routing
+    cfg = tmp_path / "f.properties"
+    cfg.write_text("filter.ignore = zz-never-matches\n")
+    out2 = tmp_path / "out2"
+    args2 = job.build_parser().parse_args([
+        "--sf", "0.001", "--out", str(out2), "--json-only", "--config", str(cfg),
+    ])
+    job.run_job(spark, args2)
+    r1 = _json.load(open(out / "report.json"))
+    r2 = _json.load(open(out2 / "report.json"))
+    ign1 = sum(r["count"] for r in r1["ignoredCategories"])
+    ign2 = sum(r["count"] for r in r2["ignoredCategories"])
+    assert ign2 < ign1  # gutted pattern list ignores less; whitelist still routes
+
+    # per-analysis CSV at an exact path + unredacted baseline for comparison
+    out3 = tmp_path / "out3"
+    args3 = job.build_parser().parse_args([
+        "--sf", "0.001", "--out", str(out3), "--json-only", "--plan-cache-csv", "pc.csv",
+    ])
+    job.run_job(spark, args3)
+    r3 = _json.load(open(out3 / "report.json"))
+    plain = [r.get("sample_line") or "" for r in r3["mainOperations"]]
+    assert samples != plain  # --redact actually transformed the samples
+    assert not (out3 / "pc.csv").exists()  # --json-only wins over csv flags
+
+    out4 = tmp_path / "out4"
+    args4 = job.build_parser().parse_args([
+        "--sf", "0.001", "--out", str(out4), "--plan-cache-csv", "pc.csv",
+    ])
+    job.run_job(spark, args4)
+    head = open(out4 / "pc.csv").readline()
+    assert "query_hash" in head or "ns" in head
