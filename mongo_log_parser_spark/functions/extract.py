@@ -169,7 +169,7 @@ def extract_ops(parsed: DataFrame) -> DataFrame:
     # increments those stats before its namespace check — see aggregates.op_stats).
     # Project down to the SlowQuery contract — the parsed source columns would
     # otherwise double the width of the ops stage checkpoint.
-    passthrough = [c for c in ("url", "warc_ts", "lang") if c in parsed.columns]
+    passthrough = [c for c in ("url", "warc_ts", "lang", "shard", "node") if c in parsed.columns]
     return out.filter(F.col("op").isNotNull()).select(
         *passthrough, "text", "ts_str", "ctx", "comp",
         "branch", "op", "op_stat", "db", "coll", "ns_pass",

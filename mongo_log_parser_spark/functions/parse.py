@@ -67,7 +67,7 @@ def _dumps(v) -> str:
     return json.dumps(v, separators=(",", ":"), ensure_ascii=False)
 
 
-_PASSTHROUGH = ["url", "warc_ts", "lang", "text"]
+_PASSTHROUGH = ["url", "warc_ts", "lang", "text", "shard", "node"]
 
 _ENV_FIELDS: list[tuple[str, type]] = [
     ("ts_str", str), ("comp", str), ("ctx", str), ("msg", str),

@@ -44,6 +44,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="enable driver statistics sink (reference default: off)")
     ap.add_argument("--app-name-stats", action="store_true",
                     help="enable appName connection statistics sink (reference default: off)")
+    ap.add_argument("--shards", action="store_true",
+                    help="per-shard rollup sinks from the filename shard identity (--logs mode)")
     ap.add_argument("--text", action="store_true", help="console report")
     ap.add_argument("--html", nargs="?", const="report.html", default=None,
                     help="HTML report path (relative to --out unless absolute)")
@@ -90,6 +92,25 @@ def run_job(spark, args) -> dict:
 
     # reference defaults: driver stats and appName stats are opt-in
     sinks = dict(res.sinks)
+    if args.shards and "shard" in res.streams["ops"].columns:
+        # per-shard copies of the reference's shard-tracked accumulators
+        # (LogParser.java:557-565)
+        from .operators import aggregates as agg
+
+        ops, kept = res.streams["ops"], res.streams["kept"]
+        from .operators import route as route_ops
+
+        sinks.update({
+            "shard_main_ops": agg.per_shard(agg.main_ops, ops),
+            "shard_ttl_ops": agg.per_shard(agg.ttl_ops, res.streams["ttl_pre"]),
+            "shard_plan_cache": agg.per_shard(agg.plan_cache, ops),
+            "shard_query_hash": agg.per_shard(agg.query_hash, ops),
+            "shard_error_codes": agg.per_shard(
+                lambda k: agg.error_codes(route_ops.error_records(k)), kept),
+            "shard_transactions": agg.per_shard(
+                lambda k: agg.transactions(route_ops.transaction_records(k)), kept),
+            "shard_index_stats": agg.per_shard(agg.index_stats, ops),
+        })
     if not args.drivers:
         sinks.pop("driver_stats", None)
     if not args.app_name_stats:

@@ -404,3 +404,33 @@ def timestamp_range(kept: DataFrame) -> DataFrame:
         F.min("ts_str").alias("earliest"), F.max("ts_str").alias("latest"),
         F.count(F.lit(1)).alias("lines_with_ts"),
     )
+
+
+def per_shard(builder, df: DataFrame, shard_cols: tuple[str, ...] = ("shard", "node")):
+    """Per-shard variant of any sink builder — the --shards mode
+    (LogParser.java:557-565 keeps a map of per-ShardInfo accumulator copies;
+    this is the same structure: one rollup per shard identity, shard columns
+    prepended to the output).
+
+    Shards come from filenames (E17), so the distinct set is small (one per
+    input file family) — a control-plane collect. Each per-shard branch is
+    the unmodified oracle-checked builder over a filtered view of the same
+    checkpointed scan; at hundreds of shards you would instead add the shard
+    columns to the builders' group keys (one shuffle instead of N branches).
+    """
+    from functools import reduce
+
+    shards = sorted(
+        df.select(*shard_cols).distinct().collect(),
+        key=lambda r: tuple(r[c] or "" for c in shard_cols),
+    )
+    parts = []
+    for r in shards:
+        sub = df
+        for c in shard_cols:
+            sub = sub.filter(F.col(c).eqNullSafe(F.lit(r[c])))
+        out = builder(sub)
+        for c in reversed(shard_cols):
+            out = out.select(F.lit(r[c]).alias(c), "*")
+        parts.append(out)
+    return reduce(lambda a, b: a.unionByName(b), parts)

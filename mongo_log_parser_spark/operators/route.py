@@ -45,10 +45,11 @@ def split_streams(pages: DataFrame,
     # require attr.namespace, namespace filter, take numDeleted/durationMillis
     ttl_raw = bounded.filter(prefilter.is_ttl_line(text)).drop("html")
     ttl_parsed = parse_lines(ttl_raw)
+    shard_cols = [c for c in ("shard", "node") if c in pages.columns]
     ttl_pre = (
         ttl_parsed.filter(F.col("a_namespace").isNotNull())
         .select(
-            "url", "warc_ts", "lang", "ts_str", "text",
+            "url", "warc_ts", "lang", "ts_str", "text", *shard_cols,
             F.col("a_namespace").alias("ns"),
             F.col("a_num_deleted").alias("num_deleted"),
             F.col("a_duration_ms").alias("duration_ms"),

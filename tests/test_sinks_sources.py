@@ -284,3 +284,28 @@ def test_job_cli_flags(spark, tmp_path):
     job.run_job(spark, args4)
     head = open(out4 / "pc.csv").readline()
     assert "query_hash" in head or "ns" in head
+
+
+def test_per_shard_rollup(spark):
+    """--shards mode: per-shard copies of a sink builder (LogParser.java:557-565
+    analog). Per-shard counts must partition the global rollup exactly."""
+    from pyspark.sql import functions as F
+
+    from mongo_log_parser_spark.operators import aggregates as agg
+    from mongo_log_parser_spark.operators import route
+    from mongo_log_parser_spark.sources import logfiles
+
+    tmp = tempfile.mkdtemp(prefix="mlp-shards-", dir="/root/repo/data")
+    try:
+        paths = _write_log_files(tmp, spark)
+        pages = logfiles.read_log_files(spark, paths)
+        s = route.split_streams(pages)
+        glob_main = agg.main_ops(s["ops"])
+        shard_main = agg.per_shard(agg.main_ops, s["ops"])
+        shards = {r["shard"] for r in shard_main.select("shard").distinct().collect()}
+        assert shards == {"01", "03"}  # from the two filenames
+        total = glob_main.agg(F.sum("count")).collect()[0][0]
+        total_sh = shard_main.agg(F.sum("count")).collect()[0][0]
+        assert total == total_sh and total > 0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
