@@ -251,12 +251,15 @@ _IVF_CENT_COS = (
     " * sqrt(list_dot_product(c.cvec, c.cvec))), 6)"
 )
 
-# IVF CTEs: seed centroids = vectors with id < N_LISTS (row == list),
-# assignment = argmax rounded cosine (ties -> lowest list_id), exactly the
-# semantics of similarity.ivf_assign's numpy argmax over the rounded matrix.
+# IVF CTEs: seed centroids = vectors with id < N_LISTS; list_id is the DENSE
+# id-sorted rank (not vec_id itself) to match similarity.collect_centroids's
+# row-index labeling when the seed ids are non-contiguous. Assignment =
+# argmax rounded cosine (ties -> lowest list_id), exactly the semantics of
+# similarity.ivf_assign's numpy argmax over the rounded matrix.
 _IVF_CTE = f"""
 cents AS (
-  SELECT CAST(vec_id AS INT) AS list_id, CAST(embedding AS DOUBLE[]) AS cvec
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS list_id,
+         CAST(embedding AS DOUBLE[]) AS cvec
   FROM embeddings WHERE vec_id < {N_LISTS}
 ),
 cscored AS (

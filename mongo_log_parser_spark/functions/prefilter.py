@@ -76,13 +76,14 @@ def should_ignore(text: Column, ignore_patterns: list[str] | None = None) -> Col
 
 
 def load_filter_config(path: str) -> list[str]:
-    """FilterConfig properties file (FilterConfig.java:77-116):
+    """FilterConfig properties file (FilterConfig.java:74-99):
 
-      filter.ignore        = p1, p2   # REPLACES the default list
-      filter.ignore.add    = p3, p4   # adds to the current list
-      filter.ignore.remove = p1       # removes from the current list
+      filter.ignore.patterns = p1, p2   # REPLACES the default list
+      filter.ignore.add      = p3, p4   # adds to the current list
+      filter.ignore.remove   = p1       # removes from the current list
 
-    Returns the effective ignore-pattern list for should_ignore()."""
+    Returns the effective ignore-pattern list for should_ignore().
+    `filter.ignore` is accepted as a lenient alias for the replace key."""
     props: dict[str, str] = {}
     with open(path) as f:
         for line in f:
@@ -92,9 +93,9 @@ def load_filter_config(path: str) -> list[str]:
             k, v = line.split("=", 1)
             props[k.strip()] = v.strip()
     patterns = list(IGNORE_PATTERNS)
-    if props.get("filter.ignore"):
-        patterns = []
-        patterns.extend(p.strip() for p in props["filter.ignore"].split(",") if p.strip())
+    replace = props.get("filter.ignore.patterns") or props.get("filter.ignore")
+    if replace:
+        patterns = [p.strip() for p in replace.split(",") if p.strip()]
     if props.get("filter.ignore.add"):
         patterns.extend(p.strip() for p in props["filter.ignore.add"].split(",") if p.strip())
     if props.get("filter.ignore.remove"):

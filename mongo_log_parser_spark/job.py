@@ -47,8 +47,10 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--shards", action="store_true",
                     help="per-shard rollup sinks from the filename shard identity (--logs mode)")
     ap.add_argument("--text", action="store_true", help="console report")
-    ap.add_argument("--html", nargs="?", const="report.html", default=None,
-                    help="HTML report path (relative to --out unless absolute)")
+    ap.add_argument("--html", nargs="?", const="report.html", default="report.html",
+                    help="HTML report path, written by default like the reference "
+                         "(LogParser.java:93-94); relative to --out unless absolute. "
+                         "--json-only suppresses it")
     ap.add_argument("--json-only", action="store_true",
                     help="JSON report only (skip parquet/CSV/HTML sinks)")
     ap.add_argument("--plan-cache-csv", help="CSV path for the plan-cache analysis")
@@ -83,23 +85,24 @@ def run_job(spark, args) -> dict:
         prefilter.load_filter_config(args.filter_config) if args.filter_config else None
     )
     res = pipeline.build(pages, ignore_patterns=ignore_patterns)
+    ops = res.streams["ops"]
     if args.ns_filter:
         pred = logfiles.namespace_filter_predicate(args.ns_filter)
-        ops = res.streams["ops"].filter(pred(F.col("db"), F.col("coll")))
+        ops = ops.filter(pred(F.col("db"), F.col("coll")))
         from .operators import aggregates as agg
 
         res.sinks["main_ops"] = agg.main_ops(ops)
 
     # reference defaults: driver stats and appName stats are opt-in
     sinks = dict(res.sinks)
-    if args.shards and "shard" in res.streams["ops"].columns:
+    if args.shards and "shard" in ops.columns:
         # per-shard copies of the reference's shard-tracked accumulators
-        # (LogParser.java:557-565)
+        # (LogParser.java:557-565); the --ns-filter gate applies to these
+        # exactly as to the global rollups
         from .operators import aggregates as agg
-
-        ops, kept = res.streams["ops"], res.streams["kept"]
         from .operators import route as route_ops
 
+        kept = res.streams["kept"]
         sinks.update({
             "shard_main_ops": agg.per_shard(agg.main_ops, ops),
             "shard_ttl_ops": agg.per_shard(agg.ttl_ops, res.streams["ttl_pre"]),

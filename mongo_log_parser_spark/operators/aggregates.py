@@ -424,6 +424,11 @@ def per_shard(builder, df: DataFrame, shard_cols: tuple[str, ...] = ("shard", "n
         df.select(*shard_cols).distinct().collect(),
         key=lambda r: tuple(r[c] or "" for c in shard_cols),
     )
+    if not shards:  # empty stream (e.g. no TTL lines): empty rollup, right schema
+        out = builder(df.limit(0))
+        for c in reversed(shard_cols):
+            out = out.select(F.lit(None).cast("string").alias(c), "*")
+        return out
     parts = []
     for r in shards:
         sub = df

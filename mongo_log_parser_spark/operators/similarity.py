@@ -191,8 +191,10 @@ def _round6_np(arr):
 def collect_centroids(vecs: DataFrame, n_lists: int = N_LISTS,
                       id_col: str = "vec_id", vec_col: str = "embedding"):
     """Seed centroids = the vectors with id < n_lists, as a (n_lists, dims)
-    float64 array ordered by id (row index == list_id). A k-row driver
-    collect — control plane, same shape as Spark ML's KMeansModel centers."""
+    float64 array ordered by id (the id-sorted dense row index IS the
+    list_id; the oracle mirrors it with row_number() OVER (ORDER BY vec_id),
+    so non-contiguous seed ids stay consistent across engines). A k-row
+    driver collect — control plane, same shape as Spark ML KMeans centers."""
     import numpy as np
 
     rows = vecs.filter(F.col(id_col) < n_lists).select(id_col, vec_col).collect()
@@ -201,7 +203,12 @@ def collect_centroids(vecs: DataFrame, n_lists: int = N_LISTS,
 
 
 def _centroid_cosines(mat, centroids):
-    """(batch, dims) fp64 × (n_lists, dims) fp64 → rounded-6dp cosine matrix."""
+    """(batch, dims) fp64 × (n_lists, dims) fp64 → rounded-6dp cosine matrix.
+
+    BLAS blocked summation can differ from DuckDB's sequential fold by ulps;
+    the 6dp HALF_UP rounding absorbs that except when a dot lands within an
+    ulp of a rounding boundary — same accepted residual risk as the LSH
+    bucket UDF (ann_lsh_buckets), which shares this formulation."""
     import numpy as np
 
     cnorm = np.sqrt((centroids * centroids).sum(axis=1))
@@ -334,7 +341,11 @@ def ivf_refine(vecs: DataFrame, n_lists: int = N_LISTS, iters: int = 2,
                   .agg(F.avg("x").alias("m"), F.avg("cent_cosine").alias("c"),
                        F.count(F.lit(1)).alias("n"))
                   .collect())
-        hist.append(float(np.mean([r["c"] for r in stats])))
+        # vector-weighted mean assigned cosine (one row per list; each list's
+        # dims rows repeat the same c/n) — the Lloyd cost proxy
+        per_list = {r["list_id"]: (r["c"], r["n"]) for r in stats}
+        tot = sum(n for _, n in per_list.values())
+        hist.append(float(sum(c * n for c, n in per_list.values()) / tot))
         new = cents.copy()
         for r in stats:
             new[r["list_id"], r["d"]] = r["m"]

@@ -46,15 +46,11 @@ def write_csv_sinks(sinks: dict[str, DataFrame], out_dir: str) -> None:
 
 
 def write_sink_csv(name: str, df: DataFrame, path: str) -> None:
-    """Single-sink CSV at an exact path (--planCacheCsv-style flags)."""
-    tmp = path + ".spark"
-    _sorted(name, df).coalesce(1).write.mode("overwrite").option("header", True).csv(tmp)
-    import glob as _glob
-    import shutil
+    """Single-sink CSV at an exact path (--planCacheCsv-style flags).
 
-    part = _glob.glob(os.path.join(tmp, "part-*.csv"))[0]
-    shutil.move(part, path)
-    shutil.rmtree(tmp, ignore_errors=True)
+    Sinks are small post-groupBy reports, so this is driver-side assembly
+    (same as json_report) — header is written even for an empty sink."""
+    _sorted(name, df).toPandas().to_csv(path, index=False)
 
 
 # sample/raw-line columns that carry user data — what --redact processes

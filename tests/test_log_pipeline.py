@@ -140,3 +140,23 @@ def test_pushdown_reaches_scan(spark):
     df = aggregates.op_stats(route.split_streams(pages)["ops"])
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "html" not in plan  # binary column pruned from the parquet scan
+
+
+def test_ops_checkpoint_lazy_equivalence(spark):
+    """The ops_checkpoint=False path (lazy dispatch off the kept checkpoint)
+    produces identical sink counts to the default checkpointed path."""
+    from pyspark.sql import functions as F
+
+    from mongo_log_parser_spark.plans import pipeline
+
+    pages = pipeline.read_pages(spark, sf=0.001)
+    a = pipeline.build(pages)
+    b = pipeline.build(pages, ops_checkpoint=False)
+    try:
+        for name in ("main_ops", "op_stats", "query_hash", "index_stats"):
+            ca = a.sinks[name].agg(F.sum("count")).collect()[0][0]
+            cb = b.sinks[name].agg(F.sum("count")).collect()[0][0]
+            assert ca == cb, name
+    finally:
+        a.unpersist()
+        b.unpersist()

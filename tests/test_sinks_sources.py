@@ -225,8 +225,10 @@ def test_load_filter_config(tmp_path):
     from mongo_log_parser_spark.functions import prefilter
 
     p = tmp_path / "f.properties"
-    p.write_text("# comment\nfilter.ignore = a, b\nfilter.ignore.add = c\nfilter.ignore.remove = a\n")
+    p.write_text("# comment\nfilter.ignore.patterns = a, b\nfilter.ignore.add = c\nfilter.ignore.remove = a\n")
     assert prefilter.load_filter_config(str(p)) == ["b", "c"]
+    p.write_text("filter.ignore = a, b\n")  # lenient alias for the replace key
+    assert prefilter.load_filter_config(str(p)) == ["a", "b"]
     p.write_text("filter.ignore.add = extra-pattern\n")
     pats = prefilter.load_filter_config(str(p))
     assert pats[:-1] == prefilter.IGNORE_PATTERNS and pats[-1] == "extra-pattern"
