@@ -298,9 +298,12 @@ FROM ops
 """
 
 
-def q_main_ops(path: str) -> str:
+def q_main_ops(path: str, extra_keys: list[tuple[str, str]] = ()) -> str:
+    """extra_keys: [(expr, alias)] leading group-key columns (shard variant)."""
+    extra_select = "".join(f"{expr} AS {name}, " for expr, name in extra_keys)
+    extra_group = "".join(f", {expr}" for expr, _ in extra_keys)
     return base_ctes(path) + f"""
-SELECT db, coll, op, app_name,
+SELECT {extra_select}db, coll, op, app_name,
   count(duration_ms) AS count,
   COALESCE(min(duration_ms), 0) AS min_ms,
   COALESCE(max(duration_ms), 0) AS max_ms,
@@ -327,8 +330,14 @@ SELECT db, coll, op, app_name,
     THEN COALESCE(sum(CASE WHEN keys_examined IS NOT NULL THEN docs_examined END), 0) // sum(nreturned)
     ELSE 0 END AS BIGINT) AS ex_ret_ratio
 FROM ops WHERE ns_pass
-GROUP BY db, coll, op, app_name
+GROUP BY db, coll, op, app_name{extra_group}
 """
+
+
+def q_shard_main_ops(path: str) -> str:
+    """per_shard_grouped main_ops: shard = first md5(url) nibble (16 synthetic
+    shards), an extra group key — same derivation as log_queries.q_shard_main_ops."""
+    return q_main_ops(path, extra_keys=[("substr(md5(url), 1, 1)", "shard")])
 
 
 def q_ttl_ops(path: str) -> str:
@@ -701,6 +710,7 @@ def oracles(sf: float = 0.01) -> dict[str, str]:
         "log_ignored_sample": q_ignored_sample(p),
         "log_parsed_ops": q_parsed_ops(p),
         "log_main_ops": q_main_ops(p),
+        "log_shard_main_ops": q_shard_main_ops(p),
         "log_ttl_ops": q_ttl_ops(p),
         "log_op_stats": q_op_stats(p),
         "log_query_hash": q_query_hash(p),

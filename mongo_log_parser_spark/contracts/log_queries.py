@@ -81,6 +81,20 @@ def q_main_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_p95(agg.main_ops(_streams(spark, sf_dir)["ops"]))
 
 
+def q_shard_main_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """--shards via per_shard_grouped: shard identity as an extra GROUP KEY in
+    the one-shuffle rollup (the scale-shaped replacement for the driver-side
+    per-shard branch loop; LogParser.java:557-565 per-ShardInfo map analog).
+
+    The synthetic pages table has no filename shard, so the shard identity is
+    derived deterministically from the url (first md5 hex nibble → 16
+    shards) — same derivation in the DuckDB oracle."""
+    pages = _pages(spark, sf_dir).withColumn(
+        "shard", F.substring(F.md5(F.col("url")), 1, 1))
+    ops = route.split_streams(pages)["ops"]
+    return _round_p95(agg.per_shard_grouped(agg.main_ops, ops))
+
+
 def q_ttl_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.ttl_ops(_streams(spark, sf_dir)["ttl_pre"])
 
@@ -174,6 +188,7 @@ LOG_QUERIES = {
     "log_ignored_sample": q_ignored_sample,
     "log_parsed_ops": q_parsed_ops,
     "log_main_ops": q_main_ops,
+    "log_shard_main_ops": q_shard_main_ops,
     "log_ttl_ops": q_ttl_ops,
     "log_op_stats": q_op_stats,
     "log_query_hash": q_query_hash,

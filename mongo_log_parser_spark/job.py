@@ -87,32 +87,48 @@ def run_job(spark, args) -> dict:
     res = pipeline.build(pages, ignore_patterns=ignore_patterns)
     ops = res.streams["ops"]
     if args.ns_filter:
-        pred = logfiles.namespace_filter_predicate(args.ns_filter)
-        ops = ops.filter(pred(F.col("db"), F.col("coll")))
+        # The reference applies user namespace filters inside dispatch
+        # (matchesNamespaceFilter, LogParserTask.java:361-408), gating every
+        # ns-scoped analysis — so AND the predicate into ns_pass and rebuild
+        # ALL ops-based sinks from the same filtered stream (globals and
+        # --shards copies therefore agree: a shard rollup sums to its global).
         from .operators import aggregates as agg
 
-        res.sinks["main_ops"] = agg.main_ops(ops)
+        pred = logfiles.namespace_filter_predicate(args.ns_filter)
+        ops = ops.withColumn(
+            "ns_pass", F.col("ns_pass") & pred(F.col("db"), F.col("coll")))
+        res.streams["ops"] = ops
+        res.streams["ttl_pre"] = res.streams["ttl_pre"].filter(
+            pred(F.col("db"), F.col("coll")))
+        res.sinks.update({
+            "main_ops": agg.main_ops(ops),
+            "ttl_ops": agg.ttl_ops(res.streams["ttl_pre"]),
+            "op_stats": agg.op_stats(ops),
+            "query_hash": agg.query_hash(ops),
+            "plan_cache": agg.plan_cache(ops),
+            "index_stats": agg.index_stats(ops),
+            "slow_planning": agg.slow_planning(ops),
+            "app_conn_stats": agg.app_conn_stats(ops),
+        })
 
     # reference defaults: driver stats and appName stats are opt-in
     sinks = dict(res.sinks)
     if args.shards and "shard" in ops.columns:
         # per-shard copies of the reference's shard-tracked accumulators
-        # (LogParser.java:557-565); the --ns-filter gate applies to these
-        # exactly as to the global rollups
+        # (LogParser.java:557-565) via per_shard_grouped: shard/node as extra
+        # group keys — one shuffle per sink, no driver-side shard loop. The
+        # --ns-filter gate applies to these exactly as to the global rollups.
         from .operators import aggregates as agg
-        from .operators import route as route_ops
 
-        kept = res.streams["kept"]
         sinks.update({
-            "shard_main_ops": agg.per_shard(agg.main_ops, ops),
-            "shard_ttl_ops": agg.per_shard(agg.ttl_ops, res.streams["ttl_pre"]),
-            "shard_plan_cache": agg.per_shard(agg.plan_cache, ops),
-            "shard_query_hash": agg.per_shard(agg.query_hash, ops),
-            "shard_error_codes": agg.per_shard(
-                lambda k: agg.error_codes(route_ops.error_records(k)), kept),
-            "shard_transactions": agg.per_shard(
-                lambda k: agg.transactions(route_ops.transaction_records(k)), kept),
-            "shard_index_stats": agg.per_shard(agg.index_stats, ops),
+            "shard_main_ops": agg.per_shard_grouped(agg.main_ops, ops),
+            "shard_ttl_ops": agg.per_shard_grouped(agg.ttl_ops, res.streams["ttl_pre"]),
+            "shard_plan_cache": agg.per_shard_grouped(agg.plan_cache, ops),
+            "shard_query_hash": agg.per_shard_grouped(agg.query_hash, ops),
+            "shard_error_codes": agg.per_shard_grouped(agg.error_codes, res.streams["errors"]),
+            "shard_transactions": agg.per_shard_grouped(
+                agg.transactions, res.streams["transactions"]),
+            "shard_index_stats": agg.per_shard_grouped(agg.index_stats, ops),
         })
     if not args.drivers:
         sinks.pop("driver_stats", None)

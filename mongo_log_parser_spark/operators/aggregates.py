@@ -79,10 +79,13 @@ def _sample_slowest(value: str = "text") -> Column:
     return F.expr(f"max_by({value}, {SLOWEST_KEY}) FILTER (WHERE duration_ms IS NOT NULL)")
 
 
-def main_ops(ops: DataFrame) -> DataFrame:
+def main_ops(ops: DataFrame, extra_keys: tuple[str, ...] = ()) -> DataFrame:
     """A1 — (db, coll, op, app_name) main-operation rollup
-    (Accumulator.java:90-154; LogLineAccumulator.java)."""
-    g = ops.filter("ns_pass").groupBy("db", "coll", "op", "app_name")
+    (Accumulator.java:90-154; LogLineAccumulator.java).
+
+    extra_keys: additional group-key columns prepended to the rollup key —
+    the one-shuffle --shards path (per_shard_grouped)."""
+    g = ops.filter("ns_pass").groupBy(*extra_keys, "db", "coll", "op", "app_name")
     cnt = F.count("duration_ms")
     agg = g.agg(
         cnt.alias("count"),
@@ -119,13 +122,13 @@ def main_ops(ops: DataFrame) -> DataFrame:
     )
 
 
-def ttl_ops(ttl_pre: DataFrame) -> DataFrame:
+def ttl_ops(ttl_pre: DataFrame, extra_keys: tuple[str, ...] = ()) -> DataFrame:
     """A2 — TTL pre-pass rollup (LogParser.java:938-970, report math 1082-1133).
 
     total_deleted reproduces the reference's deliberately lossy
     `avgReturned * count` (LogParser.java:1123)."""
     cnt = F.count("duration_ms")
-    agg = ttl_pre.groupBy("db", "coll").agg(
+    agg = ttl_pre.groupBy(*extra_keys, "db", "coll").agg(
         cnt.alias("count"),
         _z(F.min("duration_ms")).alias("min_ms"),
         _z(F.max("duration_ms")).alias("max_ms"),
@@ -161,13 +164,13 @@ def op_stats(dispatched: DataFrame) -> DataFrame:
     )
 
 
-def query_hash(ops: DataFrame) -> DataFrame:
+def query_hash(ops: DataFrame, extra_keys: tuple[str, ...] = ()) -> DataFrame:
     """A4 — (query_hash, ns, op) rollup (QueryHashAccumulator.java:29-47,
     QueryHashAccumulatorEntry.java:84-216). Null hashes dropped."""
     src = ops.filter("ns_pass").filter(F.col("query_hash").isNotNull()).withColumn(
         "ns", F.concat_ws(".", "db", "coll")
     )
-    keys = ["query_hash", "ns", "op"]
+    keys = [*extra_keys, "query_hash", "ns", "op"]
     cnt = F.count("duration_ms")
     pcnt = F.count("planning_us")
     base = src.groupBy(*keys).agg(
@@ -243,7 +246,7 @@ def query_hash(ops: DataFrame) -> DataFrame:
     return out
 
 
-def plan_cache(ops: DataFrame) -> DataFrame:
+def plan_cache(ops: DataFrame, extra_keys: tuple[str, ...] = ()) -> DataFrame:
     """A5 — (ns, op, query_hash, plan_summary) plan-cache rollup; requires
     planCacheKey AND planSummary (PlanCacheAccumulator.java:32-51)."""
     src = (
@@ -252,7 +255,7 @@ def plan_cache(ops: DataFrame) -> DataFrame:
         .withColumn("ns", F.concat_ws(".", "db", "coll"))
     )
     cnt = F.count("duration_ms")
-    return src.groupBy("ns", "op", "query_hash", "plan_summary").agg(
+    return src.groupBy(*extra_keys, "ns", "op", "query_hash", "plan_summary").agg(
         cnt.alias("count"),
         _z(F.min("duration_ms")).alias("min_ms"),
         _z(F.max("duration_ms")).alias("max_ms"),
@@ -301,7 +304,7 @@ def plan_cache_multi(plan_cache_df: DataFrame) -> DataFrame:
     return g.filter(F.col("plan_count") > 1)
 
 
-def index_stats(ops: DataFrame) -> DataFrame:
+def index_stats(ops: DataFrame, extra_keys: tuple[str, ...] = ()) -> DataFrame:
     """A6 — (ns, plan_summary) index-usage rollup; requires ns AND planSummary
     (IndexStatsAccumulator.java:15-39, IndexStatsEntry.java:31-110)."""
     src = (
@@ -310,7 +313,7 @@ def index_stats(ops: DataFrame) -> DataFrame:
         .withColumn("ns", F.concat_ws(".", "db", "coll"))
     )
     cnt = F.count("duration_ms")
-    agg = src.groupBy("ns", "plan_summary").agg(
+    agg = src.groupBy(*extra_keys, "ns", "plan_summary").agg(
         cnt.alias("count"),
         _z(F.min("duration_ms")).alias("min_ms"),
         F.coalesce(F.max("duration_ms"), F.lit(0)).alias("max_ms"),
@@ -335,20 +338,20 @@ def index_stats(ops: DataFrame) -> DataFrame:
     )
 
 
-def error_codes(errors: DataFrame) -> DataFrame:
+def error_codes(errors: DataFrame, extra_keys: tuple[str, ...] = ()) -> DataFrame:
     """A7 — per-codeName counts (ErrorCodeAccumulator.java:24-44)."""
-    return errors.groupBy("code_name").agg(
+    return errors.groupBy(*extra_keys, "code_name").agg(
         F.count(F.lit(1)).alias("count"),
         _first_by_arrival("error_code").alias("error_code"),
         _first_by_arrival("sample_message").alias("sample_message"),
     )
 
 
-def transactions(txn: DataFrame) -> DataFrame:
+def transactions(txn: DataFrame, extra_keys: tuple[str, ...] = ()) -> DataFrame:
     """A8 — (retry, cause, commitType) rollup (TransactionAccumulator.java:27-41,
     TransactionEntry.java:39-133)."""
     dcnt = F.count("duration_ms")
-    return txn.groupBy("txn_retry_counter", "termination_cause", "commit_type").agg(
+    return txn.groupBy(*extra_keys, "txn_retry_counter", "termination_cause", "commit_type").agg(
         F.count(F.lit(1)).alias("count"),
         _z(F.min("duration_ms")).alias("min_ms"),
         _z(F.max("duration_ms")).alias("max_ms"),
@@ -412,11 +415,12 @@ def per_shard(builder, df: DataFrame, shard_cols: tuple[str, ...] = ("shard", "n
     this is the same structure: one rollup per shard identity, shard columns
     prepended to the output).
 
-    Shards come from filenames (E17), so the distinct set is small (one per
-    input file family) — a control-plane collect. Each per-shard branch is
-    the unmodified oracle-checked builder over a filtered view of the same
-    checkpointed scan; at hundreds of shards you would instead add the shard
-    columns to the builders' group keys (one shuffle instead of N branches).
+    Small-N debugging/equivalence path ONLY: each per-shard branch is the
+    unmodified builder over a filtered view of the same checkpointed scan, so
+    work grows as shards × full scans plus a driver-side distinct().collect().
+    The production path is per_shard_grouped (one shuffle, no driver loop) —
+    proven row-equal to this in tests/test_golden_report.py and oracle-checked
+    as log_shard_main_ops.
     """
     from functools import reduce
 
@@ -439,3 +443,25 @@ def per_shard(builder, df: DataFrame, shard_cols: tuple[str, ...] = ("shard", "n
             out = out.select(F.lit(r[c]).alias(c), "*")
         parts.append(out)
     return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def per_shard_grouped(builder, df: DataFrame,
+                      shard_cols: tuple[str, ...] = ("shard", "node")) -> DataFrame:
+    """Per-shard variant of a sink builder, scale-shaped: the shard identity
+    columns become EXTRA GROUP KEYS inside the builder's own aggregation —
+    ONE shuffle over the stream, no driver-side shard enumeration, no
+    per-shard rescans. This is the distributed restatement of the reference's
+    per-ShardInfo accumulator map (LogParser.java:557-565): the map key
+    (shard, node) is just more group-key arity.
+
+    Semantically identical to per_shard() — same rows, same per-group values,
+    because every builder's aggregates are computed within the group and the
+    shard columns only refine the grouping (proven row-equal on the real
+    4-shard Atlas logs in tests/test_golden_report.py, and oracle-checked
+    directly as log_shard_main_ops).
+
+    At 100 TB / hundreds of shards this is the only viable shape: cost is one
+    hash aggregate whose key cardinality grows ~linearly with shard count,
+    versus per_shard's shards × full-scan branches."""
+    keys = tuple(c for c in shard_cols if c in df.columns)
+    return builder(df, extra_keys=keys)

@@ -124,10 +124,12 @@ def error_records(kept: DataFrame) -> DataFrame:
         ),
     )
     recs = F.array_compact(F.array(err_obj, ok0, disconnect))
+    shard_cols = [c for c in ("shard", "node") if c in kept.columns]
     return (
         kept.filter(F.col("has_attr"))
-        .select("url", "ts_str", F.explode(recs).alias("e"))
-        .select("url", "ts_str", "e.code_name", "e.error_code", "e.sample_message")
+        .select("url", "ts_str", *shard_cols, F.explode(recs).alias("e"))
+        .select("url", "ts_str", *shard_cols,
+                "e.code_name", "e.error_code", "e.sample_message")
     )
 
 
@@ -137,10 +139,11 @@ def transaction_records(kept: DataFrame) -> DataFrame:
     µs→ms conversion is Math.round(x/1000.0) per-row BEFORE aggregation
     (TransactionEntry.java:56-87) — reproduced as floor(x/1000 + 0.5)."""
     ms = lambda c: F.when(c.isNotNull(), F.floor(c / 1000.0 + 0.5)).cast("long")  # noqa: E731
+    shard_cols = [c for c in ("shard", "node") if c in kept.columns]
     rows = kept.filter(
         (F.col("comp") == "TXN") & (F.col("msg") == "transaction") & F.col("has_attr")
     ).select(
-        "url", "ts_str",
+        "url", "ts_str", *shard_cols,
         F.col("a_txn_retry_counter").alias("txn_retry_counter"),
         F.col("a_termination_cause").alias("termination_cause"),
         F.col("a_commit_type").alias("commit_type"),

@@ -56,19 +56,28 @@ def write_sink_csv(name: str, df: DataFrame, path: str) -> None:
 # sample/raw-line columns that carry user data — what --redact processes
 REDACTABLE_COLUMNS = ("sample_line", "sample_message", "sample_auth_line",
                       "sample_metadata_line", "text")
+# filter-subdocument columns (query shapes) — value-redacted via R9
+# sanitizeFilter, matching the reference's redactQueries path
+# (LogParserTask.java:474-526: --redact drives
+# LogRedactionUtil.sanitizeFilter(filter, redactQueries))
+FILTER_COLUMNS = ("sanitized_query", "raw_filter")
 
 
 def redact_sinks(sinks: dict[str, DataFrame]) -> dict[str, DataFrame]:
-    """R8 over every sample/raw-line column (the --redact flag,
-    LogParser.java:99-101): trim∘redact via the Arrow-batched UDF."""
+    """R8 over every sample/raw-line column plus R9 over filter-shape columns
+    (the --redact flag, LogParser.java:99-101): trim∘redact / sanitizeFilter
+    via the Arrow-batched UDFs."""
     from ..functions.redact import make_udfs
 
-    process = make_udfs()["process"]
+    udfs = make_udfs()
+    process, sanitize = udfs["process"], udfs["sanitize_filter"]
     out = {}
     for name, df in sinks.items():
         for c in df.columns:
             if c in REDACTABLE_COLUMNS:
                 df = df.withColumn(c, process(F.col(c)))
+            elif c in FILTER_COLUMNS:
+                df = df.withColumn(c, sanitize(F.col(c)))
         out[name] = df
     return out
 

@@ -89,11 +89,18 @@ def read_log_files(spark: SparkSession, paths: str | list[str],
             F.col("_lineno") <= limit_per_file
         )
     else:
-        # Lineage id only: monotonically_increasing_id is unique and ascends
-        # within each partition — no Exchange, no single-reducer-per-file
-        # bottleneck. Not a contiguous per-file line number, which nothing
-        # downstream requires (url is an opaque stable id + tiebreaker).
-        df = df.withColumn("_lineno", F.monotonically_increasing_id())
+        # Lineage id derived from CONTENT (first 60 bits of md5(line)), not
+        # monotonically_increasing_id: the url — and therefore every
+        # url-keyed sample/tiebreak pick downstream (ignored_sample,
+        # min_by(concat(ts_str, url))) — is identical at any partitioning /
+        # cluster size. No Exchange, no single-reducer-per-file bottleneck.
+        # Byte-identical lines within one file share a url (they are the
+        # same observation; any tie-broken pick between them is
+        # content-identical). --limit mode keeps true per-file line numbers.
+        df = df.withColumn(
+            "_lineno",
+            F.conv(F.substring(F.md5(F.col("value")), 1, 15), 16, 10).cast("long"),
+        )
     return _shape_pages(df)
 
 

@@ -309,5 +309,36 @@ def test_per_shard_rollup(spark):
         total = glob_main.agg(F.sum("count")).collect()[0][0]
         total_sh = shard_main.agg(F.sum("count")).collect()[0][0]
         assert total == total_sh and total > 0
+
+        # per_shard_grouped (one shuffle, shard cols as group keys) must be
+        # row-identical to the branch-per-shard version
+        grouped = agg.per_shard_grouped(agg.main_ops, s["ops"])
+        assert grouped.columns == shard_main.columns
+
+        def _key(rows):
+            return sorted(tuple(str(r[c]) for c in ("shard", "node", "db", "coll", "op",
+                                                    "app_name", "count", "min_ms", "max_ms",
+                                                    "avg_ms", "total_docs")) for r in rows)
+
+        assert _key(grouped.collect()) == _key(shard_main.collect())
+        # and the grouped plan must be a single aggregation, not N union branches
+        plan = grouped._jdf.queryExecution().executedPlan().toString()
+        assert "Union" not in plan
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_redact_scrubs_filter_columns(spark):
+    """--redact must value-redact the query-shape columns (sanitized_query /
+    raw_filter), not just the raw sample-line columns — the reference's
+    redactQueries path (LogParserTask.java:474-526 drives
+    LogRedactionUtil.sanitizeFilter under the --redact flag)."""
+    qh = spark.createDataFrame(
+        [("h1", '{"status":"ACTIVE","user":"bob"}', '{"x":{"$gt":42}}')],
+        "query_hash string, sanitized_query string, raw_filter string",
+    )
+    out = writers.redact_sinks({"query_hash": qh})["query_hash"].collect()[0]
+    assert "ACTIVE" not in out["sanitized_query"] and "bob" not in out["sanitized_query"]
+    assert "xxx" in out["sanitized_query"]
+    assert "42" not in out["raw_filter"]  # digits → 9s
+    assert out["query_hash"] == "h1"  # key columns untouched
