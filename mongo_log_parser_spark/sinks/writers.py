@@ -95,11 +95,16 @@ def console_report(sinks: dict[str, DataFrame], n: int = 20) -> None:
 
 
 def json_report(sinks: dict[str, DataFrame], metadata: dict | None = None,
-                top_query_hashes: int = 100, top_slow_planning: int = 50) -> dict[str, Any]:
+                top_query_hashes: int = 100, top_slow_planning: int = 50,
+                top_sections: int = 100) -> dict[str, Any]:
     """K3/A12 — the nested JSON report document (JsonReportGenerator.java:29-89).
 
-    Aggregate DataFrames are small post-groupBy; the collect here is the
-    driver-side report assembly, not a data-path collect."""
+    Driver-side assembly is O(top-N): every unbounded section is capped
+    (count-desc top-`top_sections`, the reference's own top-100 pattern —
+    JsonReportGenerator.java:251), and the A12 global summaries are computed
+    as Spark aggregations over the FULL sinks, not from the collected rows —
+    so a high-cardinality-namespace cluster cannot OOM the driver on report
+    assembly while the summary totals stay exact."""
     def rows(name, limit=None, sort=True):
         if name not in sinks:  # opt-out sinks (--drivers / --app-name-stats off)
             return []
@@ -109,35 +114,47 @@ def json_report(sinks: dict[str, DataFrame], metadata: dict | None = None,
             df = df.limit(limit)
         return [r.asDict(recursive=True) for r in df.collect()]
 
-    main = rows("main_ops")
-    # A12 global summaries — reproducing the reference's lossy totals
-    total_ops = sum(r["count"] for r in main)
-    total_docs_lossy = sum(r["avg_docs"] * r["count"] for r in main)
-    total_returned = sum(r["total_returned"] for r in main)
-    errs = rows("error_codes")
-    idx = rows("index_stats")
-    collscan_ops = sum(r["count"] for r in idx if r.get("is_collscan"))
+    # A12 global summaries — distributed aggregation over the full rollups,
+    # reproducing the reference's lossy Σ avg*count totals
+    total_ops = total_docs_lossy = total_returned = unique_patterns = 0
+    if "main_ops" in sinks:
+        s = sinks["main_ops"].agg(
+            F.coalesce(F.sum("count"), F.lit(0)).alias("ops"),
+            F.coalesce(F.sum(F.col("avg_docs") * F.col("count")), F.lit(0)).alias("docs"),
+            F.coalesce(F.sum("total_returned"), F.lit(0)).alias("ret"),
+            F.count(F.lit(1)).alias("patterns"),
+        ).collect()[0]
+        total_ops, total_docs_lossy = s["ops"], s["docs"]
+        total_returned, unique_patterns = s["ret"], s["patterns"]
+    total_errors = 0
+    if "error_codes" in sinks:
+        total_errors = sinks["error_codes"].agg(
+            F.coalesce(F.sum("count"), F.lit(0))).collect()[0][0]
+    collscan_ops = 0
+    if "index_stats" in sinks:
+        collscan_ops = sinks["index_stats"].filter("is_collscan").agg(
+            F.coalesce(F.sum("count"), F.lit(0))).collect()[0][0]
     report = {
         "metadata": metadata or {},
         "summary": {
             "totalOperations": total_ops,
             "totalDocsExamined": total_docs_lossy,  # Σ avg*count, by reference design
             "totalReturned": total_returned,
-            "uniquePatterns": len(main),
-            "totalErrors": sum(r["count"] for r in errs),
+            "uniquePatterns": unique_patterns,
+            "totalErrors": total_errors,
             "collscanPercent": round(100.0 * collscan_ops / total_ops, 2) if total_ops else 0.0,
         },
-        "mainOperations": main,
-        "ttlOperations": rows("ttl_ops"),
+        "mainOperations": rows("main_ops", limit=top_sections),
+        "ttlOperations": rows("ttl_ops", limit=top_sections),
         "operationTypeStats": rows("op_stats"),
-        "errorCodes": errs,
+        "errorCodes": rows("error_codes", limit=top_sections),
         "queryHashAnalysis": rows("query_hash", limit=top_query_hashes),
-        "planCacheAnalysis": rows("plan_cache"),
-        "indexStats": idx,
-        "transactions": rows("transactions"),
+        "planCacheAnalysis": rows("plan_cache", limit=top_sections),
+        "indexStats": rows("index_stats", limit=top_sections),
+        "transactions": rows("transactions", limit=top_sections),
         "slowPlanning": rows("slow_planning", limit=top_slow_planning, sort=False),
-        "appNameConnections": rows("app_conn_stats"),
-        "driverStats": rows("driver_stats"),
+        "appNameConnections": rows("app_conn_stats", limit=top_sections),
+        "driverStats": rows("driver_stats", limit=top_sections),
         "ignoredCategories": rows("ignored"),
     }
     return report

@@ -162,7 +162,15 @@ def test_json_report_and_csv_sinks(spark):
     res = pipeline.build(pipeline.read_pages(spark, sf=0.001), cache=False)
     report = writers.json_report(res.sinks, metadata={"source": "sf0.001"})
     assert report["summary"]["totalOperations"] > 0
-    assert report["summary"]["uniquePatterns"] == len(report["mainOperations"])
+    # summary totals come from the FULL sinks (Spark-side aggregation)…
+    assert report["summary"]["uniquePatterns"] == res.sinks["main_ops"].count()
+    assert report["summary"]["uniquePatterns"] > 100
+    # …while the big sections are capped top-100 count-desc
+    # (JsonReportGenerator.java:251 pattern): report assembly is O(top-N)
+    assert len(report["mainOperations"]) == 100
+    assert len(report["planCacheAnalysis"]) <= 100
+    assert report["summary"]["totalOperations"] > sum(
+        r["count"] for r in report["mainOperations"])
     assert 0 <= report["summary"]["collscanPercent"] <= 100
     assert len(report["slowPlanning"]) == 50
     # sections sorted by count desc (K1 ordering)
