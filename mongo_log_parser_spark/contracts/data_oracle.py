@@ -86,9 +86,9 @@ sh AS (
 )"""
 
 
-def _minhash_cte() -> str:
+def _minhash_cte(n_minhashes: int = N_MINHASHES) -> str:
     cols = ", ".join(
-        f"min(md5('{j}:' || shingle)) AS h{j}" for j in range(N_MINHASHES)
+        f"min(md5('{j}:' || shingle)) AS h{j}" for j in range(n_minhashes)
     )
     return _SHINGLES_CTE + f""",
 mh AS (SELECT doc_id, {cols} FROM sh GROUP BY doc_id)"""
@@ -99,17 +99,17 @@ def q_minhash_signatures() -> str:
     return f"WITH {_minhash_cte()}\nSELECT doc_id, {sig} AS signature FROM mh"
 
 
-def _bands_cte() -> str:
-    r = N_MINHASHES // LSH_BANDS
+def _bands_cte(n_minhashes: int = N_MINHASHES, n_bands: int = LSH_BANDS) -> str:
+    r = n_minhashes // n_bands
     parts = [
         f"SELECT doc_id, {b} AS band_id, md5({' || '.join(f'h{b * r + i}' for i in range(r))}) AS band_key FROM mh"
-        for b in range(LSH_BANDS)
+        for b in range(n_bands)
     ]
-    return _minhash_cte() + ",\nbands AS (" + "\nUNION ALL ".join(parts) + ")"
+    return _minhash_cte(n_minhashes) + ",\nbands AS (" + "\nUNION ALL ".join(parts) + ")"
 
 
-def q_lsh_candidates() -> str:
-    return f"""WITH {_bands_cte()}
+def q_lsh_candidates(n_minhashes: int = N_MINHASHES, n_bands: int = LSH_BANDS) -> str:
+    return f"""WITH {_bands_cte(n_minhashes, n_bands)}
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
 WHERE a.doc_id < b.doc_id
@@ -208,7 +208,8 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 """
 
 
-_BUCKETS_CTE = f"""
+def _buckets_cte(n_planes: int = N_HYPERPLANES) -> str:
+    return f"""
 comp AS (
   SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d, CAST(unnest(embedding) AS DOUBLE) AS x
   FROM embeddings
@@ -217,7 +218,7 @@ dots AS (
   SELECT vec_id, p,
     round(sum(x * ((CAST('0x' || substr(md5(p || '_' || d), 1, 8) AS BIGINT) % {HP_MOD} - {(HP_MOD - 1) // 2})
       / {(HP_MOD - 1) // 2}.0)), 6) AS dot
-  FROM comp CROSS JOIN (SELECT unnest(generate_series(0, {N_HYPERPLANES - 1})) AS p)
+  FROM comp CROSS JOIN (SELECT unnest(generate_series(0, {n_planes - 1})) AS p)
   GROUP BY vec_id, p
 ),
 buckets AS (
@@ -226,8 +227,12 @@ buckets AS (
 )"""
 
 
-def q_ann_buckets() -> str:
-    return f"WITH {_BUCKETS_CTE}\nSELECT bucket, count(*) AS count FROM buckets GROUP BY bucket"
+_BUCKETS_CTE = _buckets_cte()
+
+
+def q_ann_buckets(n_planes: int = N_HYPERPLANES) -> str:
+    return (f"WITH {_buckets_cte(n_planes)}\n"
+            "SELECT bucket, count(*) AS count FROM buckets GROUP BY bucket")
 
 
 def q_ann_lsh_topk(n_queries: int = 10, k: int = 5) -> str:
@@ -413,11 +418,13 @@ def oracles(sf: float = 0.01) -> dict[str, str]:
         "dedup_exact": q_dedup_exact(),
         "dedup_minhash_signatures": q_minhash_signatures(),
         "dedup_lsh_candidates": q_lsh_candidates(),
+        "dedup_lsh_candidates_128x32": q_lsh_candidates(128, 32),
         "dedup_neardup_pairs": q_neardup_pairs(),
         "dedup_ngram_jaccard": q_ngram_jaccard(),
         "dedup_simhash_signatures": q_simhash_signatures(),
         "sim_cosine_topk": q_cosine_topk(),
         "sim_ann_buckets": q_ann_buckets(),
+        "sim_ann_buckets_p16": q_ann_buckets(16),
         "sim_ann_lsh_topk": q_ann_lsh_topk(),
         "sim_ivf_assign": q_ivf_assign(),
         "sim_ivf_topk": q_ivf_topk(),

@@ -116,6 +116,14 @@ def q_lsh_candidates(spark, sf_dir):
     return dedup.lsh_candidates(_t(spark, sf_dir, "documents"))
 
 
+def q_lsh_candidates_128x32(spark, sf_dir):
+    """Production-shaped LSH: 128 minhash permutations / 32 bands (r=4,
+    S-curve knee at Jaccard ≈ 0.42) — the parameters a training-data
+    pipeline actually runs, oracle-checked (not just recall-tested)."""
+    return dedup.lsh_candidates(_t(spark, sf_dir, "documents"),
+                                n_minhashes=128, n_bands=32)
+
+
 def q_neardup_pairs(spark, sf_dir):
     return dedup.neardup_pairs(_t(spark, sf_dir, "documents"))
 
@@ -136,6 +144,13 @@ def q_cosine_topk(spark, sf_dir):
 
 def q_ann_buckets(spark, sf_dir):
     return similarity.ann_bucket_histogram(_t(spark, sf_dir, "embeddings"))
+
+
+def q_ann_buckets_p16(spark, sf_dir):
+    """Production-shaped LSH bucketing: 16 hyperplanes (65,536 buckets) —
+    the corpus-scale recall/candidate-volume setting, oracle-checked."""
+    return similarity.ann_bucket_histogram(_t(spark, sf_dir, "embeddings"),
+                                           n_planes=16)
 
 
 def q_ann_lsh_topk(spark, sf_dir):
@@ -199,11 +214,13 @@ DATA_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_signatures": q_minhash_signatures,
     "dedup_lsh_candidates": q_lsh_candidates,
+    "dedup_lsh_candidates_128x32": q_lsh_candidates_128x32,
     "dedup_neardup_pairs": q_neardup_pairs,
     "dedup_ngram_jaccard": q_ngram_jaccard,
     "dedup_simhash_signatures": q_simhash_signatures,
     "sim_cosine_topk": q_cosine_topk,
     "sim_ann_buckets": q_ann_buckets,
+    "sim_ann_buckets_p16": q_ann_buckets_p16,
     "sim_ann_lsh_topk": q_ann_lsh_topk,
     "sim_ivf_assign": q_ivf_assign,
     "sim_ivf_topk": q_ivf_topk,

@@ -140,8 +140,9 @@ def embedding_neardup_pairs(vecs: DataFrame, threshold: float = 0.2,
     return scored.filter(F.col("cosine") >= threshold)
 
 
-def ann_bucket_histogram(vecs: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    return ann_lsh_buckets(vecs, id_col, vec_col).groupBy("bucket").agg(
+def ann_bucket_histogram(vecs: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+                         n_planes: int = N_HYPERPLANES) -> DataFrame:
+    return ann_lsh_buckets(vecs, id_col, vec_col, n_planes=n_planes).groupBy("bucket").agg(
         F.count(F.lit(1)).alias("count")
     )
 
