@@ -4,17 +4,26 @@ The reference has no resumability (restart = full re-run, SURVEY.md §4 O14).
 The graft requires: "resumable from a checkpointed per-partition manifest
 carrying lineage IDs and parse/route/agg counters".
 
-Design (Iceberg-style without requiring an Iceberg runtime — plain parquet +
-atomic directory renames; on a real deployment the same structure maps to an
-Iceberg table with `days(warc_ts)` hidden partitioning and snapshot commits):
+Design (Iceberg-style without requiring an Iceberg runtime — plain parquet,
+NO rename-based atomicity anywhere; on a real deployment the same structure
+maps 1:1 to an Iceberg table with `days(warc_ts)` hidden partitioning, where
+the manifest row is the snapshot commit):
 
 - the ingest unit is one `day(warc_ts)` partition of the pages table;
-- each completed unit writes its routed outputs under
-  out_dir/{kept,ops}/day=<d>/ via a temp-dir + atomic rename, then appends a
-  manifest row (day, lineage_id, rows_in, oversized, ignored, kept, ops,
-  committed_at_run) — the write-then-manifest order makes a crashed run
-  re-do at most the in-flight partition (idempotent: rename replaces);
-- a restarted run anti-joins the manifest and processes only missing days;
+- each attempt writes its routed outputs to a UNIQUE content-addressed
+  location out_dir/{kept,ops}/day=<d>/attempt=<run_id>/ with plain writes —
+  nothing is ever renamed or replaced, so the scheme is safe on object
+  stores with no atomic rename (S3/GCS);
+- THE MANIFEST ROW IS THE COMMIT POINT: after the data writes finish, one
+  row (day, lineage_id, kept_path, ops_path, rows_in, oversized, ignored,
+  kept, ops) is appended as a single new parquet object with a unique name
+  (pyarrow write — the object-store PUT analog, not a directory-rename
+  commit protocol). A crash before the append leaves only unreferenced
+  orphan attempt directories (collectible garbage, exactly Iceberg's
+  uncommitted-data-file semantics); a crash after it is a completed day;
+- a restarted run consults the manifest and processes only missing days;
+  readers (committed_ops) resolve day → first-committed attempt path
+  through the manifest, never by listing the data directories;
 - aggregates (A1-A12) run over the committed `ops`/`kept` data — they are
   recomputed from the resumable ingest layer, which is exactly how the
   100 TB job stays restartable without making percentile state mergeable.
@@ -23,7 +32,6 @@ Iceberg table with `days(warc_ts)` hidden partitioning and snapshot commits):
 from __future__ import annotations
 
 import os
-import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -55,12 +63,29 @@ def completed_days(spark: SparkSession, out_dir: str) -> set[str]:
     return {r["day"] for r in m.select("day").distinct().collect()}
 
 
-def _atomic_write(df: DataFrame, final_dir: str) -> None:
-    tmp = final_dir + f".tmp-{uuid.uuid4().hex[:6]}"
-    df.write.mode("overwrite").parquet(tmp)
-    if os.path.exists(final_dir):
-        shutil.rmtree(final_dir)
-    os.replace(tmp, final_dir)
+def _attempt_dir(out_dir: str, kind: str, day: str, run_id: str) -> str:
+    """Unique content-addressed data location for one (day, attempt) — plain
+    writes only; referenced exclusively through the manifest row."""
+    return os.path.join(out_dir, kind, f"day={day}", f"attempt={run_id}")
+
+
+def _append_manifest_row(out_dir: str, row: dict) -> None:
+    """The commit: ONE new parquet object with a unique name. No renames, no
+    directory-commit protocol — the object-store PUT analog (maps to an
+    Iceberg snapshot commit in a real deployment)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pa.schema([
+        ("day", pa.string()), ("lineage_id", pa.string()),
+        ("kept_path", pa.string()), ("ops_path", pa.string()),
+        ("rows_in", pa.int64()), ("oversized", pa.int64()),
+        ("ignored", pa.int64()), ("kept", pa.int64()), ("ops", pa.int64()),
+    ])
+    table = pa.Table.from_pylist([row], schema=schema)
+    p = manifest_path(out_dir)
+    os.makedirs(p, exist_ok=True)
+    pq.write_table(table, os.path.join(p, f"commit-{uuid.uuid4().hex}.parquet"))
 
 
 def run_resumable(spark: SparkSession, pages_path: str, out_dir: str,
@@ -99,19 +124,22 @@ def run_resumable(spark: SparkSession, pages_path: str, out_dir: str,
             F.sum((~prefilter.is_oversized(text) & prefilter.should_ignore(text)).cast("long")).alias("ignored"),
         )
         streams = route.split_streams(observed)
-        kept_dir = os.path.join(out_dir, "kept", f"day={day}")
-        ops_dir = os.path.join(out_dir, "ops", f"day={day}")
-        _atomic_write(streams["kept"].observe(obs_kept, F.count(F.lit(1)).alias("kept")), kept_dir)
+        kept_dir = _attempt_dir(out_dir, "kept", day, run_id)
+        ops_dir = _attempt_dir(out_dir, "ops", day, run_id)
+        streams["kept"].observe(obs_kept, F.count(F.lit(1)).alias("kept")) \
+            .write.mode("overwrite").parquet(kept_dir)
         ops = route.extract_ops(spark.read.parquet(kept_dir))  # no re-parse
-        _atomic_write(ops.observe(obs_ops, F.count(F.lit(1)).alias("ops")), ops_dir)
+        ops.observe(obs_ops, F.count(F.lit(1)).alias("ops")) \
+            .write.mode("overwrite").parquet(ops_dir)
         c_in, kept_n, ops_n = obs_in.get, obs_kept.get, obs_ops.get
-        row = spark.createDataFrame(
-            [(day, run_id, c_in["rows_in"], c_in["oversized"], c_in["ignored"],
-              kept_n["kept"], ops_n["ops"])],
-            "day string, lineage_id string, rows_in long, oversized long, ignored long, kept long, ops long",
-        )
-        # manifest append is the commit point (after data rename — idempotent)
-        row.write.mode("append").parquet(manifest_path(out_dir))
+        # THE COMMIT: the manifest row (pointing at this attempt's paths).
+        # A crash anywhere above leaves only unreferenced orphan dirs.
+        _append_manifest_row(out_dir, {
+            "day": day, "lineage_id": run_id,
+            "kept_path": kept_dir, "ops_path": ops_dir,
+            "rows_in": c_in["rows_in"], "oversized": c_in["oversized"],
+            "ignored": c_in["ignored"], "kept": kept_n["kept"], "ops": ops_n["ops"],
+        })
         processed.append(day)
 
     return {
@@ -124,6 +152,17 @@ def run_resumable(spark: SparkSession, pages_path: str, out_dir: str,
 
 
 def committed_ops(spark: SparkSession, out_dir: str) -> DataFrame:
-    return spark.read.option("basePath", os.path.join(out_dir, "ops")).parquet(
-        os.path.join(out_dir, "ops", "day=*")
+    """Manifest-driven read: day → committed attempt path, never a directory
+    listing — orphan (uncommitted) attempt dirs are invisible, exactly like
+    Iceberg snapshot reads. If a day somehow has multiple committed rows, the
+    lexicographically-first lineage_id wins deterministically."""
+    m = read_manifest(spark, out_dir)
+    if m is None:
+        raise FileNotFoundError(f"no manifest at {manifest_path(out_dir)}")
+    rows = (
+        m.groupBy("day")
+        .agg(F.expr("min_by(ops_path, lineage_id)").alias("ops_path"))
+        .collect()
     )
+    paths = [r["ops_path"] for r in rows]
+    return spark.read.parquet(*paths)

@@ -49,6 +49,21 @@ def test_resumable_manifest_skips_completed_days(spark):
         # idempotent: a third run has nothing to do
         r3 = manifest.run_resumable(spark, path, out)
         assert r3["days_processed"] == 0
+
+        # object-store-safe commit: an ORPHAN attempt dir (data written but
+        # crash before the manifest-row commit) is invisible to readers —
+        # committed_ops resolves paths through the manifest, never by listing
+        import os
+
+        some_day = sorted(done1)[0]
+        orphan = manifest._attempt_dir(out, "ops", some_day, "deadbeef0000")
+        committed.limit(5).write.mode("overwrite").parquet(orphan)
+        assert os.path.exists(orphan)
+        assert manifest.committed_ops(spark, out).count() == full_ops.count()
+        # and no rename-based commit anywhere: every data dir is a plain
+        # attempt=<lineage_id> write recorded in the manifest
+        for r in m.select("day", "lineage_id", "ops_path").collect():
+            assert r["ops_path"].endswith(f"day={r['day']}/attempt={r['lineage_id']}")
     finally:
         shutil.rmtree(out, ignore_errors=True)
         shutil.rmtree(path, ignore_errors=True)
