@@ -172,7 +172,7 @@ def main() -> None:
 
     # headline throughput + per-sink timings at the requested sf, full width
     cpu_width = min(cpus, 16)  # beyond ~16 the host's SMT sharing anti-scales
-    head_runs = int(os.environ.get("SPARK_GRAFT_HEAD_RUNS", "2"))
+    head_runs = int(os.environ.get("SPARK_GRAFT_HEAD_RUNS", "3"))
     head_times, timings = bench_at(f"local[{cpu_width}]", 16, pages_path,
                                    runs=head_runs, with_timings=True)
     t_head, t_head_med = min(head_times), statistics.median(head_times)
