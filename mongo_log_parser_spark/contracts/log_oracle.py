@@ -426,13 +426,19 @@ GROUP BY 1, 2, 3
 """
 
 
-def q_query_hash(path: str) -> str:
+def q_query_hash(path: str, with_shard: bool = False) -> str:
+    """with_shard: per_shard_grouped variant — shard = first md5(url) nibble
+    as a leading group key through the base agg, all three kv-map sub-aggs,
+    and the final join (mirrors aggregates.query_hash(extra_keys=('shard',)))."""
+    sh_sel = "substr(md5(url), 1, 1) AS shard, " if with_shard else ""
+    sh_col = "shard, " if with_shard else ""
+    sh_ord = ", 4" if with_shard else ""
     return base_ctes(path) + f"""
 , qh_base AS (
-  SELECT *, db || '.' || coll AS qns FROM ops WHERE ns_pass AND query_hash IS NOT NULL
+  SELECT *, {sh_sel}db || '.' || coll AS qns FROM ops WHERE ns_pass AND query_hash IS NOT NULL
 ),
 qh_agg AS (
-  SELECT query_hash, qns AS ns, op,
+  SELECT {sh_col}query_hash, qns AS ns, op,
     count(duration_ms) AS count,
     COALESCE(min(duration_ms), 0) AS min_ms,
     COALESCE(max(duration_ms), 0) AS max_ms,
@@ -457,36 +463,36 @@ qh_agg AS (
     arg_min(app_name, {_ARRIVAL_KEY}) FILTER (WHERE app_name IS NOT NULL) AS app_name,
     arg_min(raw_filter, {_ARRIVAL_KEY}) FILTER (WHERE raw_filter IS NOT NULL) AS sanitized_query,
     arg_max(text, {_SAMPLE_KEY}) FILTER (WHERE duration_ms IS NOT NULL) AS sample_line
-  FROM qh_base GROUP BY 1, 2, 3
+  FROM qh_base GROUP BY 1, 2, 3{sh_ord}
 ),
 qh_replans AS (
-  SELECT query_hash, ns, op, string_agg(kv, '|' ORDER BY kv) AS replan_reasons FROM (
-    SELECT query_hash, qns AS ns, op, replan_reason || '=' || count(*) AS kv
-    FROM qh_base WHERE replanned AND replan_reason IS NOT NULL GROUP BY 1, 2, 3, replan_reason
-  ) GROUP BY 1, 2, 3
+  SELECT {sh_col}query_hash, ns, op, string_agg(kv, '|' ORDER BY kv) AS replan_reasons FROM (
+    SELECT {sh_col}query_hash, qns AS ns, op, replan_reason || '=' || count(*) AS kv
+    FROM qh_base WHERE replanned AND replan_reason IS NOT NULL GROUP BY 1, 2, 3{sh_ord}, replan_reason
+  ) GROUP BY 1, 2, 3{sh_ord}
 ),
 qh_rp AS (
-  SELECT query_hash, ns, op, string_agg(kv, '|' ORDER BY kv) AS read_pref_counts FROM (
-    SELECT query_hash, qns AS ns, op,
+  SELECT {sh_col}query_hash, ns, op, string_agg(kv, '|' ORDER BY kv) AS read_pref_counts FROM (
+    SELECT {sh_col}query_hash, qns AS ns, op,
       (CASE WHEN read_pref IS NOT NULL AND read_pref != '' THEN read_pref ELSE 'default' END) || '=' || count(*) AS kv
-    FROM qh_base GROUP BY 1, 2, 3,
+    FROM qh_base GROUP BY 1, 2, 3{sh_ord},
       CASE WHEN read_pref IS NOT NULL AND read_pref != '' THEN read_pref ELSE 'default' END
-  ) GROUP BY 1, 2, 3
+  ) GROUP BY 1, 2, 3{sh_ord}
 ),
 qh_tags AS (
-  SELECT query_hash, ns, op, string_agg(kv, '|' ORDER BY kv) AS read_pref_tags_counts FROM (
-    SELECT query_hash, qns AS ns, op, read_pref_tags || '=' || count(*) AS kv
+  SELECT {sh_col}query_hash, ns, op, string_agg(kv, '|' ORDER BY kv) AS read_pref_tags_counts FROM (
+    SELECT {sh_col}query_hash, qns AS ns, op, read_pref_tags || '=' || count(*) AS kv
     FROM qh_base WHERE read_pref_tags IS NOT NULL AND read_pref_tags != ''
-    GROUP BY 1, 2, 3, read_pref_tags
-  ) GROUP BY 1, 2, 3
+    GROUP BY 1, 2, 3{sh_ord}, read_pref_tags
+  ) GROUP BY 1, 2, 3{sh_ord}
 )
 SELECT a.*, COALESCE(r.replan_reasons, '') AS replan_reasons,
   COALESCE(p.read_pref_counts, '') AS read_pref_counts,
   COALESCE(t.read_pref_tags_counts, '') AS read_pref_tags_counts
 FROM qh_agg a
-LEFT JOIN qh_replans r USING (query_hash, ns, op)
-LEFT JOIN qh_rp p USING (query_hash, ns, op)
-LEFT JOIN qh_tags t USING (query_hash, ns, op)
+LEFT JOIN qh_replans r USING ({sh_col}query_hash, ns, op)
+LEFT JOIN qh_rp p USING ({sh_col}query_hash, ns, op)
+LEFT JOIN qh_tags t USING ({sh_col}query_hash, ns, op)
 """
 
 
@@ -714,6 +720,7 @@ def oracles(sf: float = 0.01) -> dict[str, str]:
         "log_ttl_ops": q_ttl_ops(p),
         "log_op_stats": q_op_stats(p),
         "log_query_hash": q_query_hash(p),
+        "log_shard_query_hash": q_query_hash(p, with_shard=True),
         "log_plan_cache": q_plan_cache(p),
         "log_plan_multi": q_plan_multi(p),
         "log_index_stats": q_index_stats(p),

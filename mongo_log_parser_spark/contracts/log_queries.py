@@ -107,6 +107,18 @@ def q_query_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_p95(agg.query_hash(_streams(spark, sf_dir)["ops"]))
 
 
+def q_shard_query_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """per_shard_grouped over the most complex builder (A4: base agg + unified
+    kv-map sub-agg + join) — shard key threads through both aggregations and
+    the join, still one shuffle chain. Shard = first md5(url) nibble (same
+    derivation as log_shard_main_ops / the DuckDB oracle)."""
+    pages = _pages(spark, sf_dir).withColumn(
+        "shard", F.substring(F.md5(F.col("url")), 1, 1))
+    ops = route.split_streams(pages)["ops"]
+    return _round_p95(agg.per_shard_grouped(agg.query_hash, ops,
+                                            shard_cols=("shard",)))
+
+
 def q_plan_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_p95(agg.plan_cache(_streams(spark, sf_dir)["ops"]))
 
@@ -192,6 +204,7 @@ LOG_QUERIES = {
     "log_ttl_ops": q_ttl_ops,
     "log_op_stats": q_op_stats,
     "log_query_hash": q_query_hash,
+    "log_shard_query_hash": q_shard_query_hash,
     "log_plan_cache": q_plan_cache,
     "log_plan_multi": q_plan_multi,
     "log_index_stats": q_index_stats,
