@@ -269,8 +269,12 @@ def sanitize_filter(filter_obj, enable_redaction: bool = True) -> str | None:
 
 def _trim_node(node) -> None:
     """R7 — verbose-key removal + string/array truncation + empty-object drop
-    (LogFilter.java:306-396). The reference's double-recursion is idempotent,
-    so a single clean walk produces identical output."""
+    (LogFilter.java:306-396). Matches the reference's walk order exactly,
+    including the empty-object check happening BEFORE recursion can empty the
+    child (LogFilter.java:390): a nested-empty-object chain loses one level
+    per application in both implementations, so trim converges within
+    depth(doc) passes rather than being strictly idempotent
+    (tests/test_redaction_properties.py::test_process_stabilizes)."""
     if isinstance(node, dict):
         for k in list(node.keys()):
             if k in TRIM_IGNORE_KEYS:

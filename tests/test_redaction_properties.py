@@ -75,11 +75,29 @@ def test_redact_stabilizes(doc):
     assert redact_log_message(twice, True) == twice
 
 
+def _depth(node) -> int:
+    if isinstance(node, dict):
+        return 1 + max((_depth(v) for v in node.values()), default=0)
+    if isinstance(node, list):
+        return 1 + max((_depth(v) for v in node), default=0)
+    return 0
+
+
 @settings(max_examples=200, deadline=None)
 @given(json_docs)
 def test_process_stabilizes(doc):
-    twice = process_log_message(process_log_message(json.dumps(doc), True), True)
-    assert process_log_message(twice, True) == twice
+    """process converges to a fixpoint within depth(doc)+2 applications.
+
+    NOT plain idempotence: the trim walk (ours AND the reference's —
+    LogFilter.java:390 checks childNode.isEmpty() BEFORE recursion can empty
+    it) removes one level of a nested-empty-object chain per application, so
+    {"a":{"b":{}}} needs one pass per level. Hypothesis found this; the
+    reference behaves identically, so the semantics stand and the property is
+    convergence-within-depth, plus true stability at the fixpoint."""
+    out = json.dumps(doc)
+    for _ in range(_depth(doc) + 2):
+        out = process_log_message(out, True)
+    assert process_log_message(out, True) == out
 
 
 @settings(max_examples=150, deadline=None)
