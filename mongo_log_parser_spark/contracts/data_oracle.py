@@ -390,7 +390,7 @@ GROUP BY doc_id
 
 
 def q_media_meta(sf: float) -> str:
-    p = datagen.pages_path(sf)
+    p = datagen.pages_glob(sf)
     return f"""
 -- Independent recomputation of media.fake_decode's deterministic fields.
 -- DuckDB 1.0 sha256 only accepts VARCHAR (blob cast escapes bytes), so the

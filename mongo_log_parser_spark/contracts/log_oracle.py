@@ -709,7 +709,7 @@ FROM ops WHERE ns_pass GROUP BY db, coll, op
 
 
 def oracles(sf: float = 0.01) -> dict[str, str]:
-    p = datagen.pages_path(sf)
+    p = datagen.pages_glob(sf)
     return {
         "log_route_counts": q_route_counts(p),
         "log_ignored_categories": q_ignored_categories(p),

@@ -43,23 +43,32 @@ def build_session(
         # JIT-friendly methods) above this limit restores linear scaling.
         .config("spark.sql.codegen.hugeMethodLimit", "8000")
         # Arrow boundary for the pandas UDFs (redact/trim, media metadata).
+        # 5000 rows/batch halves each Python worker's peak resident set vs the
+        # previous 10000 (the parse stage holds ~80 object columns per batch);
+        # round-3's driver bench died with a Python worker crash under 16
+        # concurrent workers on this shared 128 GiB host — almost certainly
+        # host-level memory pressure (BENCH_r03.json tail).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "5000")
+        # When a Python worker does die, get a real traceback instead of
+        # "exited unexpectedly (crashed)".
+        .config("spark.python.worker.faulthandler.enabled", "true")
+        .config("spark.sql.execution.pyspark.udf.faulthandler.enabled", "true")
         # The reference drops >1 MiB lines; our text payloads stay well under
         # broadcast limits — keep autoBroadcast on for the lookup joins.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        # Local-mode split sizing: the synthetic pages table is one modest file;
-        # the default 128 MiB maxPartitionBytes would make it a single input
-        # partition and serialize the parse. On a real cluster reading many
-        # ~128 MiB parquet files this override is unnecessary — tune via env.
-        .config(
-            "spark.sql.files.maxPartitionBytes",
-            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(4 * 1024 * 1024)),
-        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
     )
+    # Split sizing stays at Spark's default 128 MiB: the synthetic pages table
+    # is written as N part files (datagen.n_files) so scan parallelism comes
+    # from the file layout, exactly as a 100 TB table's thousands of files
+    # would provide — not from a local-only split-size hack (round-3 verdict
+    # item 7). Env knob kept for experiments only.
+    mpb = os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES")
+    if mpb:
+        builder = builder.config("spark.sql.files.maxPartitionBytes", mpb)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -374,20 +374,72 @@ def _noise_line(i, iso, ctx, u):
 
 
 def pages_path(sf: float) -> str:
+    """Directory of part-*.parquet files (multi-file layout, see n_files)."""
+    return os.path.join(DATA_ROOT, "pages", GEN_VERSION, f"sf{sf}", "pages")
+
+
+def pages_glob(sf: float) -> str:
+    """Glob form of pages_path for DuckDB's read_parquet (needs a pattern,
+    not a directory)."""
+    return os.path.join(pages_path(sf), "*.parquet")
+
+
+def _legacy_pages_file(sf: float) -> str:
     return os.path.join(DATA_ROOT, "pages", GEN_VERSION, f"sf{sf}", "pages.parquet")
+
+
+def n_files(n_rows: int) -> int:
+    """Part-file count: scan parallelism must come from the file layout (as a
+    100 TB table's thousands of >=128 MiB files would provide), not from a
+    tiny maxPartitionBytes override — each local part file is well under the
+    default 128 MiB split size, so one file == one input partition."""
+    return max(1, min(64, n_rows // 18750))
 
 
 def lookup_path(name: str) -> str:
     return os.path.join(DATA_ROOT, "lookups", GEN_VERSION, f"{name}.parquet")
 
 
+def _write_parts(table, path: str) -> None:
+    """Write `table` as n_files(len) part files, atomically (tmp dir swap).
+    Files hold contiguous row slices in order, so any reader that concatenates
+    parts in filename order sees the exact single-file row order."""
+    import pyarrow.parquet as pq
+
+    n = table.num_rows
+    k = n_files(n)
+    per = -(-n // k)  # ceil
+    tmp = path + ".tmp"
+    if os.path.exists(tmp):
+        import shutil
+
+        shutil.rmtree(tmp)
+    os.makedirs(tmp)
+    for i in range(k):
+        sl = table.slice(i * per, per)
+        if sl.num_rows == 0:
+            break
+        pq.write_table(sl, os.path.join(tmp, f"part-{i:05d}.parquet"),
+                       row_group_size=per, compression="zstd")
+    os.replace(tmp, path)
+
+
 def ensure_pages(sf: float) -> str:
-    """Generate (once, cached) the pages parquet for a scale factor. Returns path."""
+    """Generate (once, cached) the pages table for a scale factor.
+
+    Returns the directory of part files. A pre-existing single-file layout
+    (GEN_VERSION v1 rounds 1-3) is migrated in place by re-slicing — the rows,
+    order, and bytes-per-row are identical; only the file layout changes."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     path = pages_path(sf)
-    if os.path.exists(path):
+    if os.path.isdir(path):
+        return path
+    legacy = _legacy_pages_file(sf)
+    if os.path.exists(legacy):
+        _write_parts(pq.read_table(legacy), path)
+        os.remove(legacy)
         return path
     os.makedirs(os.path.dirname(path), exist_ok=True)
     n = max(100, int(BASE_ROWS * sf))
@@ -400,10 +452,7 @@ def ensure_pages(sf: float) -> str:
         "text": pa.array(texts, pa.string()),
         "lang": pa.array(langs, pa.string()),
     })
-    tmp = path + ".tmp"
-    # 32+ row groups so local[32] (and any real cluster) gets parallel splits
-    pq.write_table(table, tmp, row_group_size=max(2048, n // 32), compression="zstd")
-    os.replace(tmp, path)
+    _write_parts(table, path)
     _ensure_lookups(hosts)
     return path
 
