@@ -709,8 +709,10 @@ FROM ops WHERE ns_pass GROUP BY db, coll, op
 
 
 def oracles(sf: float = 0.01) -> dict[str, str]:
+    from . import pins
+
     p = datagen.pages_glob(sf)
-    return {
+    out = {
         "log_route_counts": q_route_counts(p),
         "log_ignored_categories": q_ignored_categories(p),
         "log_ignored_sample": q_ignored_sample(p),
@@ -733,7 +735,13 @@ def oracles(sf: float = 0.01) -> dict[str, str]:
         "log_ts_range": q_ts_range(p),
         "log_enrich_site_class": q_enrich_site_class(p),
         "log_salted_op_rollup": q_salted_op_rollup(p),
-        # log_redacted_lines: no SQL-expressible oracle (tree-walk text
-        # transform) — driver records the rows-only check; byte-level goldens
-        # in tests/test_redaction.py
     }
+    # log_redacted_lines: the tree-walk text transform has no SQL-expressible
+    # oracle, so the expected table is PINNED (scripts/pin_redacted.py:
+    # DuckDB recomputes the line selection; the transform is the pure-Python
+    # process_log_message, itself byte-golden-tested against the reference).
+    # Without a pin for this sf the driver records the rows-only check.
+    pin_sql = pins.redacted_oracle_sql(sf)
+    if pin_sql is not None:
+        out["log_redacted_lines"] = pin_sql
+    return out

@@ -248,3 +248,26 @@ def test_udfs_on_spark(spark):
     assert row["p"] == process_log_message(
         '{"attr":{"command":{"filter":{"a":"secret"}},"lsid":{"x":1},"durationMillis":5}}', True
     )
+
+
+def test_redacted_pin_fresh():
+    """The committed log_redacted_lines pins (contracts/pins/) must match a
+    fresh recompute: DuckDB line selection + pure-Python process transform.
+    Fails whenever redact/trim semantics change without re-running
+    scripts/pin_redacted.py — the pin is the driver's hash oracle, so a stale
+    pin would mask (or falsely flag) a behavior change."""
+    import os
+    import sys
+
+    import pyarrow.parquet as pq
+
+    from mongo_log_parser_spark.contracts import pins
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    import pin_redacted
+
+    for sf in (0.001, 0.01):
+        stored = pq.read_table(pins.pin_path(sf))
+        fresh = pin_redacted.build_pin(sf)
+        assert stored.num_rows == fresh.num_rows, f"sf{sf}: row count drifted"
+        assert stored.equals(fresh), f"sf{sf}: pin stale — rerun scripts/pin_redacted.py"
