@@ -407,6 +407,38 @@ FROM read_parquet('{p}')
 """
 
 
+def q_media_decode(sf: float) -> str:
+    from ..sources import datagen
+
+    datagen.ensure_media(sf)
+    p = datagen.media_glob(sf)
+    # Mirrors datagen.ensure_media's index arithmetic (row i parsed from the
+    # url): kind = i%4 in (png, jpeg, gif, opaque); image dims are
+    # 16+(i*7)%113 x 16+(i*13)%97 — REAL header bytes the Spark side must
+    # parse back out; opaque rows reproduce media.fake_decode's fields from
+    # octet_length alone.
+    return f"""
+WITH m AS (
+  SELECT url, payload,
+    CAST(regexp_extract(url, '([0-9]+)$', 1) AS BIGINT) AS i,
+    CAST(octet_length(payload) AS BIGINT) AS n
+  FROM read_parquet('{p}')
+)
+SELECT url,
+  CASE i % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif'
+    ELSE (CASE n % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END)
+  END AS media_kind,
+  CAST(CASE WHEN i % 4 < 3 THEN 16 + (i * 7) % 113
+            WHEN n % 3 != 1 THEN n % 1920 END AS INTEGER) AS width,
+  CAST(CASE WHEN i % 4 < 3 THEN 16 + (i * 13) % 97
+            WHEN n % 3 != 1 THEN n % 1080 END AS INTEGER) AS height,
+  CAST(CASE WHEN i % 4 < 3 THEN 1
+            WHEN n % 3 = 2 THEN n % 240 END AS INTEGER) AS frames,
+  n AS n_bytes
+FROM m
+"""
+
+
 def oracles(sf: float = 0.01) -> dict[str, str]:
     return {
         "rel_pricing_summary": q_pricing_summary(),
@@ -434,4 +466,5 @@ def oracles(sf: float = 0.01) -> dict[str, str]:
         "text_quality_scores": q_quality_scores(),
         "text_fingerprints": q_fingerprints(),
         "media_meta": q_media_meta(sf),
+        "media_decode": q_media_decode(sf),
     }

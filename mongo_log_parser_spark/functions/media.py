@@ -51,6 +51,51 @@ def decode_media(payload: bytes):  # pragma: no cover - stub contract
     )
 
 
+def sniff_decode(payload: bytes) -> dict:
+    """Stdlib header decode for the three container formats the synthetic
+    media table carries — REAL byte parsing, no image libraries needed:
+
+    - PNG:  IHDR width/height, big-endian u32 at offset 16 (after the 8-byte
+            signature + 4-byte length + 'IHDR')
+    - JPEG: marker scan from SOI, skipping variable-length segments via their
+            big-endian length fields, until a SOF0/1/2 frame header (height
+            then width, big-endian u16 at offset+5)
+    - GIF:  GIF87a/GIF89a logical-screen width/height, little-endian u16 at
+            offset 6
+
+    Unknown containers fall back to `fake_decode` (the documented stub for
+    formats that genuinely need PIL/ffmpeg — pixel decode, frame extraction).
+    """
+    import struct
+
+    n = len(payload)
+    base = {"n_bytes": n, "sha256": hashlib.sha256(payload).hexdigest(),
+            "frames": 1, "thumbnail": payload[:16]}
+    if n >= 24 and payload[:8] == b"\x89PNG\r\n\x1a\n" and payload[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", payload[16:24])
+        return {**base, "media_kind": "png", "width": w, "height": h}
+    if n >= 4 and payload[:2] == b"\xff\xd8":  # JPEG SOI
+        off = 2
+        while off + 4 <= n:
+            if payload[off] != 0xFF:
+                break
+            marker = payload[off + 1]
+            if marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1/SOF2
+                if off + 9 <= n:
+                    h, w = struct.unpack(">HH", payload[off + 5 : off + 9])
+                    return {**base, "media_kind": "jpeg", "width": w, "height": h}
+                break
+            if marker == 0xD9:  # EOI before any SOF
+                break
+            seg_len = struct.unpack(">H", payload[off + 2 : off + 4])[0]
+            off += 2 + seg_len
+        return fake_decode(payload)
+    if n >= 10 and payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", payload[6:10])
+        return {**base, "media_kind": "gif", "width": w, "height": h}
+    return fake_decode(payload)
+
+
 def fake_decode(payload: bytes) -> dict:
     """Deterministic stand-in decode: sizes derived from content bytes so
     tests are reproducible; thumbnail = first 16 bytes."""

@@ -400,6 +400,88 @@ def lookup_path(name: str) -> str:
     return os.path.join(DATA_ROOT, "lookups", GEN_VERSION, f"{name}.parquet")
 
 
+# ----------------------------------------------------------- media table
+# Deterministic binary media payloads with REAL container headers, so the
+# stdlib header decoder (functions/media.py sniff_decode) parses genuine
+# bytes rather than a fake. Dims derive from the row index by fixed
+# arithmetic, which lets the DuckDB oracle recompute the expected metadata
+# independently of the decoder (contracts/data_oracle.py q_media_decode).
+
+def _png_bytes(w: int, h: int, seed: int) -> bytes:
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # 8-bit grayscale
+    raw = b"".join(b"\x00" + bytes((seed + y + x) % 256 for x in range(w))
+                   for y in range(h))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 1)) + chunk(b"IEND", b""))
+
+
+def _jpeg_bytes(w: int, h: int, seed: int) -> bytes:
+    import struct
+
+    app0 = b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    com_payload = bytes((seed + i) % 256 for i in range(32))
+    com = b"\xff\xfe" + struct.pack(">H", 2 + len(com_payload)) + com_payload
+    sof0 = (b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+            + struct.pack(">HH", h, w) + b"\x01\x01\x11\x00")
+    return b"\xff\xd8" + app0 + com + sof0 + b"\xff\xd9"
+
+
+def _gif_bytes(w: int, h: int, seed: int) -> bytes:
+    import struct
+
+    body = bytes((seed + i) % 256 for i in range(24))
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00" + body + b"\x3b"
+
+
+def media_path(sf: float) -> str:
+    return os.path.join(DATA_ROOT, "media", GEN_VERSION, f"sf{sf}", "media")
+
+
+def media_glob(sf: float) -> str:
+    return os.path.join(media_path(sf), "*.parquet")
+
+
+def ensure_media(sf: float) -> str:
+    """Generate (once, cached) the media table: (url, payload binary).
+
+    Row i: kind = i%4 ∈ {png, jpeg, gif, opaque}; images carry real headers
+    with width = 16 + (i*7)%113, height = 16 + (i*13)%97; every 4th row is an
+    opaque non-container blob of 100 + i%50 bytes exercising the stub
+    fallback. All arithmetic is mirrored by the DuckDB oracle."""
+    import pyarrow as pa
+
+    path = media_path(sf)
+    if os.path.isdir(path):
+        return path
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    n = max(100, int(60_000 * sf))
+    urls, payloads = [], []
+    for i in range(n):
+        w, h = 16 + (i * 7) % 113, 16 + (i * 13) % 97
+        kind = i % 4
+        if kind == 0:
+            b = _png_bytes(w, h, i)
+        elif kind == 1:
+            b = _jpeg_bytes(w, h, i)
+        elif kind == 2:
+            b = _gif_bytes(w, h, i)
+        else:
+            b = bytes((i * 31 + j * 7) % 251 for j in range(100 + i % 50))
+        urls.append(f"media://obj/{i:08d}")
+        payloads.append(b)
+    table = pa.table({"url": pa.array(urls, pa.string()),
+                      "payload": pa.array(payloads, pa.binary())})
+    _write_parts(table, path)
+    return path
+
+
 def _write_parts(table, path: str) -> None:
     """Write `table` as n_files(len) part files, atomically (tmp dir swap).
     Files hold contiguous row slices in order, so any reader that concatenates

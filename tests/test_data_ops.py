@@ -58,6 +58,28 @@ def test_media_meta_pandas_stage(spark):
         decode_media(b"\x89PNG")
 
 
+def test_sniff_decode_real_headers():
+    """sniff_decode parses REAL container bytes (PNG IHDR, JPEG SOF0 marker
+    scan past APP0/COM segments, GIF logical screen); unknown/truncated
+    containers fall back to the documented fake_decode stub."""
+    from mongo_log_parser_spark.functions.media import fake_decode, sniff_decode
+    from mongo_log_parser_spark.sources import datagen
+
+    for i in range(64):
+        w, h = 16 + (i * 7) % 113, 16 + (i * 13) % 97
+        for maker, kind in ((datagen._png_bytes, "png"),
+                            (datagen._jpeg_bytes, "jpeg"),
+                            (datagen._gif_bytes, "gif")):
+            m = sniff_decode(maker(w, h, i))
+            assert (m["media_kind"], m["width"], m["height"]) == (kind, w, h)
+            assert m["frames"] == 1 and len(m["sha256"]) == 64
+    # malformed: truncated PNG sig, JPEG with EOI before SOF, garbage — all
+    # must fall through to fake_decode, never raise
+    for b in (b"\x89PNG\r\n", b"\xff\xd8\xff\xd9", b"GIF89a\x01",
+              b"", b"\x00" * 64):
+        assert sniff_decode(b) == fake_decode(b)
+
+
 def test_media_resize_stage(spark):
     """Binary-in → binary-out resize/frame-sample stage (deterministic fake
     resample; real deployments swap in PIL/ffmpeg at the marked line)."""
