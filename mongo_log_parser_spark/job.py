@@ -53,6 +53,12 @@ def build_parser() -> argparse.ArgumentParser:
                          "--json-only suppresses it")
     ap.add_argument("--json-only", action="store_true",
                     help="JSON report only (skip parquet/CSV/HTML sinks)")
+    ap.add_argument("--top-sections", type=int, default=None,
+                    help="opt-in cap on rows per JSON/HTML report section for "
+                         "very-high-cardinality clusters (reference reports are "
+                         "unbounded except queryHash top-100 / slowPlanning "
+                         "top-50); dropped rows are disclosed in "
+                         "report['sectionTruncation']")
     ap.add_argument("--plan-cache-csv", help="CSV path for the plan-cache analysis")
     ap.add_argument("--query-hash-csv", help="CSV path for the query-hash analysis")
     ap.add_argument("--error-codes-csv", help="CSV path for the error-code analysis")
@@ -154,10 +160,12 @@ def run_job(spark, args) -> dict:
         if args.html:
             writers.write_html_report(
                 sinks,
-                args.html if os.path.isabs(args.html) else os.path.join(args.out, args.html))
+                args.html if os.path.isabs(args.html) else os.path.join(args.out, args.html),
+                top_sections=args.top_sections)
     writers.write_json_report(
         sinks, os.path.join(args.out, "report.json"),
         metadata={"pages": pages_path or "log-files", "engine": "mongo_log_parser_spark"},
+        top_sections=args.top_sections,
     )
     if args.text:
         writers.console_report(sinks)

@@ -23,7 +23,12 @@ the manifest row is the snapshot commit):
   uncommitted-data-file semantics); a crash after it is a completed day;
 - a restarted run consults the manifest and processes only missing days;
   readers (committed_ops) resolve day → first-committed attempt path
-  through the manifest, never by listing the data directories;
+  through the manifest, never by listing the data directories. All manifest
+  I/O goes through the Hadoop FileSystem API, so out_dir may be s3a://gs://
+  as well as local. The append is lock-free: ONE writer per out_dir is the
+  deployment assumption; if concurrent runs double-commit a day anyway,
+  committed_manifest picks one (day, lineage_id) row for paths AND counters
+  together, so nothing double-counts;
 - aggregates (A1-A12) run over the committed `ops`/`kept` data — they are
   recomputed from the resumable ingest layer, which is exactly how the
   100 TB job stays restartable without making percentile state mergeable.
@@ -49,11 +54,36 @@ def manifest_path(out_dir: str) -> str:
     return os.path.join(out_dir, "manifest")
 
 
+def _hadoop_fs(spark: SparkSession, path_str: str):
+    """Hadoop FileSystem + Path for `path_str` — resolves the scheme
+    (file:/, s3a://, gs://, hdfs://) from the session's Hadoop conf, so every
+    manifest I/O works on object stores, not just the driver-local disk."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path_str)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
+
+
 def read_manifest(spark: SparkSession, out_dir: str) -> DataFrame | None:
     p = manifest_path(out_dir)
-    if not os.path.exists(p) or not os.listdir(p):
+    fs, hpath = _hadoop_fs(spark, p)
+    if not fs.exists(hpath) or len(fs.listStatus(hpath)) == 0:
         return None
     return spark.read.parquet(p)
+
+
+def committed_manifest(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    """ONE committed row per day — the view every consumer (paths AND
+    counters) must read through. The manifest append is lock-free; the
+    documented deployment assumption is a single writer per out_dir. If two
+    concurrent runs nevertheless both commit the same day, the
+    lexicographically-first lineage_id wins here for the data paths and the
+    counters together, so summed counters never double-count a day."""
+    m = read_manifest(spark, out_dir)
+    if m is None:
+        return None
+    picked = [F.expr(f"min_by({c}, lineage_id)").alias(c)
+              for c in m.columns if c != "day"]
+    return m.groupBy("day").agg(*picked)
 
 
 def completed_days(spark: SparkSession, out_dir: str) -> set[str]:
@@ -69,10 +99,15 @@ def _attempt_dir(out_dir: str, kind: str, day: str, run_id: str) -> str:
     return os.path.join(out_dir, kind, f"day={day}", f"attempt={run_id}")
 
 
-def _append_manifest_row(out_dir: str, row: dict) -> None:
-    """The commit: ONE new parquet object with a unique name. No renames, no
-    directory-commit protocol — the object-store PUT analog (maps to an
-    Iceberg snapshot commit in a real deployment)."""
+def _append_manifest_row(spark: SparkSession, out_dir: str, row: dict) -> None:
+    """The commit: ONE new parquet object with a unique name, written through
+    the Hadoop FileSystem API — a single PUT on s3a://gs://, a single create
+    on file:/. No renames, no directory-commit protocol (maps to an Iceberg
+    snapshot commit in a real deployment). overwrite=False on the create:
+    the uuid name never collides, and if it somehow did the second writer
+    fails instead of silently clobbering a commit."""
+    import io
+
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -82,10 +117,15 @@ def _append_manifest_row(out_dir: str, row: dict) -> None:
         ("rows_in", pa.int64()), ("oversized", pa.int64()),
         ("ignored", pa.int64()), ("kept", pa.int64()), ("ops", pa.int64()),
     ])
-    table = pa.Table.from_pylist([row], schema=schema)
-    p = manifest_path(out_dir)
-    os.makedirs(p, exist_ok=True)
-    pq.write_table(table, os.path.join(p, f"commit-{uuid.uuid4().hex}.parquet"))
+    buf = io.BytesIO()
+    pq.write_table(pa.Table.from_pylist([row], schema=schema), buf)
+    target = os.path.join(manifest_path(out_dir), f"commit-{uuid.uuid4().hex}.parquet")
+    fs, hpath = _hadoop_fs(spark, target)
+    out = fs.create(hpath, False)
+    try:
+        out.write(buf.getvalue())
+    finally:
+        out.close()
 
 
 def run_resumable(spark: SparkSession, pages_path: str, out_dir: str,
@@ -134,7 +174,7 @@ def run_resumable(spark: SparkSession, pages_path: str, out_dir: str,
         c_in, kept_n, ops_n = obs_in.get, obs_kept.get, obs_ops.get
         # THE COMMIT: the manifest row (pointing at this attempt's paths).
         # A crash anywhere above leaves only unreferenced orphan dirs.
-        _append_manifest_row(out_dir, {
+        _append_manifest_row(spark, out_dir, {
             "day": day, "lineage_id": run_id,
             "kept_path": kept_dir, "ops_path": ops_dir,
             "rows_in": c_in["rows_in"], "oversized": c_in["oversized"],
@@ -155,14 +195,17 @@ def committed_ops(spark: SparkSession, out_dir: str) -> DataFrame:
     """Manifest-driven read: day → committed attempt path, never a directory
     listing — orphan (uncommitted) attempt dirs are invisible, exactly like
     Iceberg snapshot reads. If a day somehow has multiple committed rows, the
-    lexicographically-first lineage_id wins deterministically."""
-    m = read_manifest(spark, out_dir)
+    lexicographically-first lineage_id wins deterministically
+    (committed_manifest). The result carries the `day` partition column
+    (string), recovered from the day=<d>/attempt=<id> directory layout via
+    basePath — ONE multi-path scan, no per-day union."""
+    m = committed_manifest(spark, out_dir)
     if m is None:
         raise FileNotFoundError(f"no manifest at {manifest_path(out_dir)}")
-    rows = (
-        m.groupBy("day")
-        .agg(F.expr("min_by(ops_path, lineage_id)").alias("ops_path"))
-        .collect()
+    paths = [r["ops_path"] for r in m.select("ops_path").collect()]
+    base = os.path.join(out_dir, "ops")
+    return (
+        spark.read.option("basePath", base).parquet(*paths)
+        .withColumn("day", F.col("day").cast("string"))
+        .drop("attempt")
     )
-    paths = [r["ops_path"] for r in rows]
-    return spark.read.parquet(*paths)

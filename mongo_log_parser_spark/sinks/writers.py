@@ -96,23 +96,34 @@ def console_report(sinks: dict[str, DataFrame], n: int = 20) -> None:
 
 def json_report(sinks: dict[str, DataFrame], metadata: dict | None = None,
                 top_query_hashes: int = 100, top_slow_planning: int = 50,
-                top_sections: int = 100) -> dict[str, Any]:
+                top_sections: int | None = None) -> dict[str, Any]:
     """K3/A12 — the nested JSON report document (JsonReportGenerator.java:29-89).
 
-    Driver-side assembly is O(top-N): every unbounded section is capped
-    (count-desc top-`top_sections`, the reference's own top-100 pattern —
-    JsonReportGenerator.java:251), and the A12 global summaries are computed
-    as Spark aggregations over the FULL sinks, not from the collected rows —
-    so a high-cardinality-namespace cluster cannot OOM the driver on report
-    assembly while the summary totals stay exact."""
-    def rows(name, limit=None, sort=True):
+    Section bounds match the reference: ONLY queryHashAnalysis is top-100
+    (JsonReportGenerator.java:251) and slowPlanning top-50; every other
+    section is unbounded, as in the reference JSON. `top_sections` is the
+    OPT-IN scale cap (--top-sections) for clusters whose rollups are too big
+    to collect driver-side — a deliberate divergence when engaged, and every
+    section that actually drops rows is recorded in
+    report["sectionTruncation"] = {section: {"total": N, "kept": K}} so
+    consumers can detect it. The A12 global summaries are always computed as
+    Spark aggregations over the FULL sinks, not from the collected rows, so
+    the summary totals stay exact regardless of any cap."""
+    truncation: dict[str, dict[str, int]] = {}
+
+    def rows(name, section=None, limit=None, sort=True):
         if name not in sinks:  # opt-out sinks (--drivers / --app-name-stats off)
             return []
         df = sinks[name]
         df = _sorted(name, df) if sort else df
         if limit:
             df = df.limit(limit)
-        return [r.asDict(recursive=True) for r in df.collect()]
+        out = [r.asDict(recursive=True) for r in df.collect()]
+        if limit and section and len(out) == limit:
+            total = sinks[name].count()
+            if total > limit:
+                truncation[section] = {"total": total, "kept": limit}
+        return out
 
     # A12 global summaries — distributed aggregation over the full rollups,
     # reproducing the reference's lossy Σ avg*count totals
@@ -144,25 +155,29 @@ def json_report(sinks: dict[str, DataFrame], metadata: dict | None = None,
             "totalErrors": total_errors,
             "collscanPercent": round(100.0 * collscan_ops / total_ops, 2) if total_ops else 0.0,
         },
-        "mainOperations": rows("main_ops", limit=top_sections),
-        "ttlOperations": rows("ttl_ops", limit=top_sections),
+        "mainOperations": rows("main_ops", "mainOperations", limit=top_sections),
+        "ttlOperations": rows("ttl_ops", "ttlOperations", limit=top_sections),
         "operationTypeStats": rows("op_stats"),
-        "errorCodes": rows("error_codes", limit=top_sections),
-        "queryHashAnalysis": rows("query_hash", limit=top_query_hashes),
-        "planCacheAnalysis": rows("plan_cache", limit=top_sections),
-        "indexStats": rows("index_stats", limit=top_sections),
-        "transactions": rows("transactions", limit=top_sections),
+        "errorCodes": rows("error_codes", "errorCodes", limit=top_sections),
+        "queryHashAnalysis": rows("query_hash", "queryHashAnalysis", limit=top_query_hashes),
+        "planCacheAnalysis": rows("plan_cache", "planCacheAnalysis", limit=top_sections),
+        "indexStats": rows("index_stats", "indexStats", limit=top_sections),
+        "transactions": rows("transactions", "transactions", limit=top_sections),
         "slowPlanning": rows("slow_planning", limit=top_slow_planning, sort=False),
-        "appNameConnections": rows("app_conn_stats", limit=top_sections),
-        "driverStats": rows("driver_stats", limit=top_sections),
+        "appNameConnections": rows("app_conn_stats", "appNameConnections", limit=top_sections),
+        "driverStats": rows("driver_stats", "driverStats", limit=top_sections),
         "ignoredCategories": rows("ignored"),
     }
+    if truncation:
+        report["sectionTruncation"] = truncation
     return report
 
 
-def write_json_report(sinks: dict[str, DataFrame], path: str, metadata: dict | None = None) -> None:
+def write_json_report(sinks: dict[str, DataFrame], path: str, metadata: dict | None = None,
+                      top_sections: int | None = None) -> None:
     with open(path, "w") as f:
-        json.dump(json_report(sinks, metadata), f, indent=2, default=str)
+        json.dump(json_report(sinks, metadata, top_sections=top_sections),
+                  f, indent=2, default=str)
 
 
 # ----------------------------------------------------------- K4 HTML report
@@ -249,9 +264,10 @@ def html_report(report: dict[str, Any]) -> str:
 
 
 def write_html_report(sinks: dict[str, DataFrame], path: str,
-                      metadata: dict | None = None) -> None:
+                      metadata: dict | None = None,
+                      top_sections: int | None = None) -> None:
     with open(path, "w") as f:
-        f.write(html_report(json_report(sinks, metadata)))
+        f.write(html_report(json_report(sinks, metadata, top_sections=top_sections)))
 
 
 # ------------------------------------------------------- E18-E20 utilities

@@ -11,7 +11,12 @@ calls getNextEntry() and therefore reads zero lines from a zip
 
 read_log_files() produces a pages-shaped DataFrame so the entire pipeline
 (route/extract/aggregate) runs unchanged on real log files:
-  url      = file#lineno  (stable per-row id for dedup/first-last ordering)
+  url      = file#<content-hash>  (partition-layout-invariant row tag; NOT a
+             row-uniqueness key — byte-identical lines within one file share
+             a url, and the 60-bit hash can collide at billions of lines.
+             Nothing may dedup or count by url; it exists so url-keyed
+             tiebreaks/samples are deterministic under any partitioning.
+             Zip mode differs: true line numbers, unique per entry.)
   warc_ts  = null         (event time comes from the parsed $date)
   text     = the line
 

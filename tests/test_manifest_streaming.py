@@ -41,6 +41,12 @@ def test_resumable_manifest_skips_completed_days(spark):
         full_ops = route.split_streams(spark.read.parquet(path))["ops"]
         committed = manifest.committed_ops(spark, out)
         assert committed.count() == full_ops.count()
+        # committed_ops carries the day partition column (string), recovered
+        # from the day=<d>/attempt=<id> layout — consumers can filter by day
+        assert dict(committed.schema["day"].jsonValue(), metadata=None)["type"] == "string"
+        assert set(r["day"] for r in committed.select("day").distinct().collect()) \
+            == manifest.completed_days(spark, out)
+        assert "attempt" not in committed.columns
         # and the manifest counters reconcile with the scan totals
         tot = m.agg(F.sum("rows_in"), F.sum("ops")).collect()[0]
         assert tot[0] == spark.read.parquet(path).count()
@@ -64,6 +70,22 @@ def test_resumable_manifest_skips_completed_days(spark):
         # attempt=<lineage_id> write recorded in the manifest
         for r in m.select("day", "lineage_id", "ops_path").collect():
             assert r["ops_path"].endswith(f"day={r['day']}/attempt={r['lineage_id']}")
+
+        # double-commit tolerance: if a second run ever commits an
+        # already-done day (lock-free append; single-writer is the documented
+        # assumption), committed_manifest picks ONE row per day for paths and
+        # counters together — sums over it do not double-count
+        pre = manifest.committed_manifest(spark, out).agg(
+            F.sum("rows_in"), F.sum("ops")).collect()[0]
+        dup_day = sorted(done1)[0]
+        dup_src = m.filter(F.col("day") == dup_day).collect()[0].asDict()
+        dup_src["lineage_id"] = "zzzzduplicate"  # sorts after the real commit
+        manifest._append_manifest_row(spark, out, dup_src)
+        cm = manifest.committed_manifest(spark, out)
+        assert cm.count() == len(manifest.completed_days(spark, out))
+        post = cm.agg(F.sum("rows_in"), F.sum("ops")).collect()[0]
+        assert (post[0], post[1]) == (pre[0], pre[1])
+        assert manifest.committed_ops(spark, out).count() == full_ops.count()
     finally:
         shutil.rmtree(out, ignore_errors=True)
         shutil.rmtree(path, ignore_errors=True)

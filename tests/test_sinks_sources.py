@@ -160,15 +160,26 @@ def test_json_report_and_csv_sinks(spark):
     from mongo_log_parser_spark.plans import pipeline
 
     res = pipeline.build(pipeline.read_pages(spark, sf=0.001), cache=False)
-    report = writers.json_report(res.sinks, metadata={"source": "sf0.001"})
+    # default: sections are UNBOUNDED like the reference JSON (only queryHash
+    # top-100 / slowPlanning top-50 are reference-bounded); no truncation key
+    full = writers.json_report(res.sinks, metadata={"source": "sf0.001"})
+    assert full["summary"]["uniquePatterns"] == res.sinks["main_ops"].count()
+    assert full["summary"]["uniquePatterns"] > 100
+    assert len(full["mainOperations"]) == full["summary"]["uniquePatterns"]
+    assert len(full["queryHashAnalysis"]) <= 100
+    assert len(full["slowPlanning"]) == 50
+    assert "mainOperations" not in full.get("sectionTruncation", {})
+    # opt-in scale cap (--top-sections): O(top-N) assembly, dropped rows
+    # disclosed per section so consumers can detect truncation
+    report = writers.json_report(res.sinks, metadata={"source": "sf0.001"},
+                                 top_sections=100)
     assert report["summary"]["totalOperations"] > 0
-    # summary totals come from the FULL sinks (Spark-side aggregation)…
-    assert report["summary"]["uniquePatterns"] == res.sinks["main_ops"].count()
-    assert report["summary"]["uniquePatterns"] > 100
-    # …while the big sections are capped top-100 count-desc
-    # (JsonReportGenerator.java:251 pattern): report assembly is O(top-N)
+    # summary totals still come from the FULL sinks (Spark-side aggregation)
+    assert report["summary"]["uniquePatterns"] == full["summary"]["uniquePatterns"]
     assert len(report["mainOperations"]) == 100
     assert len(report["planCacheAnalysis"]) <= 100
+    assert report["sectionTruncation"]["mainOperations"] == {
+        "total": report["summary"]["uniquePatterns"], "kept": 100}
     assert report["summary"]["totalOperations"] > sum(
         r["count"] for r in report["mainOperations"])
     assert 0 <= report["summary"]["collscanPercent"] <= 100
