@@ -182,6 +182,24 @@ def write_json_report(sinks: dict[str, DataFrame], path: str, metadata: dict | N
 
 # ----------------------------------------------------------- K4 HTML report
 
+# Static, data-free sorter: click a header to sort its table by that column
+# (numeric when both values parse as numbers; the humanized duration/bytes
+# cells carry their raw value in title="", so they sort numerically too).
+# This is the ONLY script in the document and never contains report content —
+# all report values go through _esc().
+_SORT_JS = (
+    "<script>document.addEventListener('click',function(e){"
+    "var th=e.target.closest('th');if(!th||!th.closest('table'))return;"
+    "var t=th.closest('table'),i=th.cellIndex,rows=Array.prototype.slice.call(t.rows,1);"
+    "var dir=th.dataset.dir==='asc'?-1:1;th.dataset.dir=(dir===1?'asc':'desc');"
+    "rows.sort(function(a,b){"
+    "var x=a.cells[i].title||a.cells[i].textContent,y=b.cells[i].title||b.cells[i].textContent;"
+    "var nx=parseFloat(x),ny=parseFloat(y);"
+    "if(!isNaN(nx)&&!isNaN(ny))return dir*(nx-ny);"
+    "return dir*x.localeCompare(y);});"
+    "rows.forEach(function(r){t.appendChild(r);});});</script>"
+)
+
 _HTML_SECTIONS = [
     # (report key, title, column used for the humanized-duration hint)
     ("mainOperations", "Main Operations", "avg_ms"),
@@ -223,12 +241,14 @@ def _cell(col: str, v: Any) -> str:
 
 def html_report(report: dict[str, Any]) -> str:
     """K4 — single-file HTML render of the JSON report: summary header, nav,
-    one sortable table per section, humanized durations/bytes, collapsible
+    one section per accordion (<details>, open by default — the reference's
+    accordion pattern), click-to-sort column headers (static inline JS, no
+    report data in the script), humanized durations/bytes, collapsible
     sample log lines.
 
     Deliberately minimal next to the reference's 2798-line
-    HtmlReportGenerator.java (no embedded JS charts/filter boxes); section
-    set, ordering (count desc), and the humanize rules match it
+    HtmlReportGenerator.java (no charts/filter boxes); section set, ordering
+    (count desc), and the humanize rules match it
     (HtmlReportGenerator.java:42-120 section list; formatDuration/formatBytes
     per LogRedactionUtil.java:515-620)."""
     parts = [
@@ -236,8 +256,10 @@ def html_report(report: dict[str, Any]) -> str:
         "<title>mongo-log-parser-spark report</title>",
         "<style>body{font-family:sans-serif;margin:1.5em}table{border-collapse:collapse;"
         "margin:1em 0;font-size:13px}th,td{border:1px solid #ccc;padding:3px 8px;"
-        "text-align:left}th{background:#f0f0f0;position:sticky;top:0}tr:nth-child(even)"
+        "text-align:left}th{background:#f0f0f0;position:sticky;top:0;cursor:pointer}"
+        "tr:nth-child(even)"
         "{background:#fafafa}pre{white-space:pre-wrap;max-width:80em}summary{cursor:pointer}"
+        "details.sec>summary{font-size:1.2em;font-weight:bold;margin:0.8em 0}"
         "nav a{margin-right:1em}</style></head><body>",
         "<h1>MongoDB Log Analysis Report</h1>",
     ]
@@ -249,16 +271,23 @@ def html_report(report: dict[str, Any]) -> str:
     parts.append("<nav>" + "".join(
         f"<a href='#{key}'>{_esc(title)}</a>" for key, title, _ in _HTML_SECTIONS
         if report.get(key)) + "</nav>")
+    trunc = report.get("sectionTruncation") or {}
     for key, title, _ in _HTML_SECTIONS:
         rows = report.get(key)
         if not rows:
             continue
         cols = list(rows[0].keys())
-        parts.append(f"<h2 id='{key}'>{_esc(title)} <small>({len(rows)} rows)</small></h2>")
-        parts.append("<table><tr>" + "".join(f"<th>{_esc(c)}</th>" for c in cols) + "</tr>")
+        note = (f" — showing top {trunc[key]['kept']} of {trunc[key]['total']}"
+                if key in trunc else "")
+        parts.append(
+            f"<details class='sec' open id='{key}'><summary>{_esc(title)} "
+            f"<small>({len(rows)} rows{_esc(note)})</small></summary>")
+        parts.append("<table><tr>" + "".join(
+            f"<th title='click to sort'>{_esc(c)}</th>" for c in cols) + "</tr>")
         for r in rows:
             parts.append("<tr>" + "".join(_cell(c, r.get(c)) for c in cols) + "</tr>")
-        parts.append("</table>")
+        parts.append("</table></details>")
+    parts.append(_SORT_JS)
     parts.append("</body></html>")
     return "".join(parts)
 

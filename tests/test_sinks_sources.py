@@ -203,15 +203,38 @@ def test_json_report_and_csv_sinks(spark):
         for sec in ("Main Operations", "Error Codes", "Query Hash Analysis",
                     "Index Usage", "Driver Stats", "Ignored Line Categories"):
             assert sec in html, sec
-        # every main-ops row rendered; durations humanized; content escaped
-        assert html.count("<h2") >= 10
+        # every section an accordion; durations humanized; the ONLY script is
+        # the static data-free column sorter
+        assert html.count("<details class='sec'") >= 10
         assert "ms</td>" in html or "s</td>" in html
-        assert "<script" not in html.lower()
+        assert html.count("<script") == 1 and writers._SORT_JS in html
+        # opt-in truncation disclosed in the rendered section header
+        assert "showing top 100 of" in html
         hp = os.path.join(tmp, "report.html")
         writers.write_html_report(res.sinks, hp, metadata={"source": "sf0.001"})
         assert os.path.getsize(hp) > 10000
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_html_escapes_user_content():
+    """Report values (log lines, namespaces) must never reach the HTML
+    unescaped — the single <script> block is the static sorter, and
+    injected markup in any value renders inert."""
+    report = {
+        "metadata": {"src": "<script>alert(1)</script>"},
+        "summary": {"totalOperations": 1},
+        "mainOperations": [
+            {"ns": "<b>evil</b>", "count": 2,
+             "sample_line": 'x"y<img src=x onerror=alert(1)>' + "z" * 80},
+        ],
+    }
+    html = writers.html_report(report)
+    assert html.count("<script") == 1 and writers._SORT_JS in html
+    assert "<script>alert" not in html
+    assert "&lt;script&gt;alert" in html
+    assert "<b>evil</b>" not in html and "&lt;b&gt;evil&lt;/b&gt;" in html
+    assert "<img" not in html and "&lt;img" in html
 
 
 def test_humanize_and_detectors():
