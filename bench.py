@@ -350,6 +350,8 @@ def _publish_scaling(out: dict, times: dict[int, list[float]], scale_pages: int,
 
 
 def _write_md(out: dict, cpu_width: int, timings: dict[str, float]) -> None:
+    if os.environ.get("SPARK_GRAFT_BENCH_NO_MD"):
+        return  # smoke runs: emit the JSON line but keep the standing BASELINE.md
     os.makedirs("BENCH", exist_ok=True)
     eff_14 = out.get("scaling_efficiency")
     tbw = out.get("times_by_width", {})

@@ -21,21 +21,27 @@ def build_session(
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    master = master or f"local[{cpus}]"
-    if shuffle_partitions is None:
-        # local mode: match cores so one shuffle wave; on a real cluster this
-        # is overridden to ~2-3x total cores (AQE coalesces the excess).
-        n = master[master.find("[") + 1 : master.find("]")] if "[" in master else "32"
-        shuffle_partitions = cpus if n == "*" else int(n)
+    # Under spark-submit (PythonRunner exports PYSPARK_GATEWAY_PORT before the
+    # driver script runs) the master arrives as a JVM system property; calling
+    # .master() here would silently override it — a YARN or local-cluster
+    # submit would fall back to local[N]. In that case leave the builder's
+    # master alone and size shuffle partitions from the live session's actual
+    # master after getOrCreate().
+    under_submit = master is None and "PYSPARK_GATEWAY_PORT" in os.environ
+    if not under_submit:
+        master = master or f"local[{cpus}]"
+    if shuffle_partitions is None and master is not None:
+        shuffle_partitions = _default_shuffle_partitions(master, cpus)
 
+    builder = SparkSession.builder.appName(app_name)
+    if master is not None:
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
+        builder
         # AQE: runtime re-plan, partition coalescing, skew-join splitting.
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # The extract stage's dispatch projection generates >8 KB of bytecode;
         # HotSpot never JITs methods above 8000 bytes, so whole-stage codegen
         # would run *interpreted generated code* (measured 10x slower at 32
@@ -69,6 +75,29 @@ def build_session(
     mpb = os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES")
     if mpb:
         builder = builder.config("spark.sql.files.maxPartitionBytes", mpb)
+    if shuffle_partitions is not None:
+        builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    if shuffle_partitions is None and "spark.sql.shuffle.partitions" not in (extra_conf or {}):
+        # submit path: size shuffles from the master spark-submit provided
+        # (runtime conf — safe to set after session creation)
+        actual = spark.conf.get("spark.master", f"local[{cpus}]")
+        spark.conf.set("spark.sql.shuffle.partitions",
+                       str(_default_shuffle_partitions(actual, cpus)))
+    return spark
+
+
+def _default_shuffle_partitions(master: str, cpus: int) -> int:
+    """Local modes: match total cores so one shuffle wave; unrecognized
+    (cluster) masters: the env CPU count — on a real deployment this is
+    overridden to ~2-3x total cluster cores (AQE coalesces the excess)."""
+    inner = master[master.find("[") + 1 : master.find("]")] if "[" in master else ""
+    if master.startswith("local-cluster"):
+        # local-cluster[numExecutors, coresPerExecutor, memoryPerExecutorMB]
+        n_exec, cores, _mem = (int(x) for x in inner.split(","))
+        return n_exec * cores
+    if master.startswith("local") and inner:
+        return cpus if inner == "*" else int(inner)
+    return cpus

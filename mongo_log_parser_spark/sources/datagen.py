@@ -28,7 +28,21 @@ import numpy as np
 GEN_VERSION = "v1"
 SEED = 42
 BASE_ROWS = 6_000_000  # rows at sf=1.0 (sf0.001 → 6k, matching TESTDATA scale)
-DATA_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "data")
+def _default_data_root() -> str:
+    """Repo-relative `data/` when the package is on a real filesystem; when it
+    is imported from a --py-files zip (spark-submit), __file__ points inside
+    the archive and is not writable — fall back to $SPARK_GRAFT_DATA_DIR or
+    cwd/data."""
+    env = os.environ.get("SPARK_GRAFT_DATA_DIR")
+    if env:
+        return env
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    if os.path.isdir(repo_root):
+        return os.path.join(repo_root, "data")
+    return os.path.join(os.getcwd(), "data")
+
+
+DATA_ROOT = _default_data_root()
 
 START_TS = datetime(2025, 7, 1, tzinfo=timezone.utc)
 WINDOW = timedelta(days=30)
