@@ -708,6 +708,31 @@ FROM ops WHERE ns_pass GROUP BY db, coll, op
 """
 
 
+def q_stream_windowed_ops(path: str) -> str:
+    """Batch equivalent of the streaming 1-day tumbling-window rollup: Spark's
+    window('1 day') aligns to epoch days in the UTC session timezone, i.e.
+    date_trunc('day'). ops drops warc_ts (the k CTE projects it away), so join
+    back to pages on the unique synthetic url."""
+    return base_ctes(path) + """
+SELECT strftime(date_trunc('day', p.warc_ts), '%Y-%m-%d') AS window_day, o.op,
+  count(*) AS count,
+  CAST(COALESCE(sum(o.duration_ms), 0) AS BIGINT) AS total_ms
+FROM ops o JOIN pages p USING (url) WHERE o.ns_pass
+GROUP BY 1, 2
+"""
+
+
+def q_stream_conn_sessions(path: str) -> str:
+    """Batch equivalent of the single-micro-batch sessionization drain:
+    min(start)/max(end) per conn, closed sessions only (end > start), no
+    sample — J2's lifetimes_all before the 10% cut."""
+    return base_ctes(path) + f", {_LIFETIMES_CTE}" + """
+SELECT conn_id, start_ms, end_ms, end_ms - start_ms AS lifetime_ms,
+  'closed' AS status
+FROM lifetimes_all WHERE end_ms - start_ms > 0
+"""
+
+
 def oracles(sf: float = 0.01) -> dict[str, str]:
     from . import pins
 
@@ -735,6 +760,8 @@ def oracles(sf: float = 0.01) -> dict[str, str]:
         "log_ts_range": q_ts_range(p),
         "log_enrich_site_class": q_enrich_site_class(p),
         "log_salted_op_rollup": q_salted_op_rollup(p),
+        "stream_windowed_ops": q_stream_windowed_ops(p),
+        "stream_conn_sessions": q_stream_conn_sessions(p),
     }
     # log_redacted_lines: the tree-walk text transform has no SQL-expressible
     # oracle, so the expected table is PINNED (scripts/pin_redacted.py:

@@ -194,6 +194,61 @@ def q_enrich_site_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("count"))
 
 
+def q_stream_windowed_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graft §2.7 streaming — the watermarked 1-day tumbling-window op rollup
+    (streaming/stream_job.py windowed_op_counts) drained with
+    Trigger.AvailableNow into a memory sink. Complete-mode aggregation is
+    micro-batch-boundary-invariant, so the DuckDB oracle is the equivalent
+    batch GROUP BY over date_trunc('day', warc_ts). Timestamps are projected
+    to day strings / sums coalesced so both engines compare on plain values."""
+    import tempfile
+    import uuid
+
+    from ..streaming import stream_job
+
+    path = datagen.ensure_pages(sf_from_dir(sf_dir))
+    name = f"stream_win_{uuid.uuid4().hex[:8]}"
+    windowed = stream_job.windowed_op_counts(
+        stream_job.streaming_ops(stream_job.pages_stream(spark, path)))
+    stream_job.run_available_now(
+        windowed, name, tempfile.mkdtemp(prefix="ckpt_win_"))
+    return spark.table(name).select(
+        F.date_format("window_start", "yyyy-MM-dd").alias("window_day"),
+        "op",
+        F.col("count").cast("long").alias("count"),
+        F.coalesce(F.col("total_ms"), F.lit(0)).cast("long").alias("total_ms"),
+    )
+
+
+def q_stream_conn_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graft §2.7 streaming — applyInPandasWithState connection sessionization
+    (J2's streaming form) drained in ONE micro-batch (maxFilesPerTrigger >=
+    file count) so every emitted session carries the min(start)/max(end)
+    semantics of the batch oracle. Synthetic conn ids recur (pool draw), so
+    per-batch close order is the only micro-batch-dependent part; the
+    incremental multi-batch behavior is covered by
+    tests/test_manifest_streaming.py instead."""
+    import tempfile
+    import uuid
+
+    from ..streaming import stream_job
+
+    path = datagen.ensure_pages(sf_from_dir(sf_dir))
+    # run_available_now picks append mode by the *sessions suffix
+    name = f"stream_{uuid.uuid4().hex[:8]}_sessions"
+    sessions = stream_job.streaming_conn_sessions(
+        stream_job.pages_stream(spark, path, max_files=1_000_000))
+    stream_job.run_available_now(
+        sessions, name, tempfile.mkdtemp(prefix="ckpt_sess_"))
+    return spark.table(name).select(
+        "conn_id",
+        F.unix_millis("start_ts").alias("start_ms"),
+        F.unix_millis("end_ts").alias("end_ms"),
+        "lifetime_ms",
+        "status",
+    )
+
+
 LOG_QUERIES = {
     "log_route_counts": q_route_counts,
     "log_ignored_categories": q_ignored_categories,
@@ -218,4 +273,6 @@ LOG_QUERIES = {
     "log_enrich_site_class": q_enrich_site_class,
     "log_salted_op_rollup": q_salted_op_rollup,
     "log_redacted_lines": q_redacted_lines,
+    "stream_windowed_ops": q_stream_windowed_ops,
+    "stream_conn_sessions": q_stream_conn_sessions,
 }
