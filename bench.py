@@ -408,6 +408,13 @@ def _write_md(out: dict, cpu_width: int, timings: dict[str, float]) -> None:
             "costs, not components summing to the headline:\n",
         ] + [f"- {k}: {v}" for k, v in timings.items()]
     lines.append("")
+    # Multi-executor (local-cluster) N vs 4N evidence is produced separately
+    # by scripts/bench_cluster.py into BENCH/CLUSTER.md — carry it into every
+    # regeneration of BASELINE.md so the driver's own bench run preserves it.
+    cluster_md = os.path.join("BENCH", "CLUSTER.md")
+    if os.path.exists(cluster_md):
+        with open(cluster_md) as f:
+            lines.append(f.read())
     with open("BENCH/BASELINE.md", "w") as f:
         f.write("\n".join(lines))
 

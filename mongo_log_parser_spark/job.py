@@ -3,10 +3,12 @@
 Usage (local dev):
     python -m mongo_log_parser_spark.job --sf 0.01 --out data/run1
 
-Usage (cluster):
+Usage (cluster) — submit the thin launcher, not this module (as a main script
+this file would lose its package context for relative imports; proven on a
+multi-executor local-cluster in tests/test_spark_submit.py):
     zip -r mlp.zip mongo_log_parser_spark
     spark-submit --py-files mlp.zip --master yarn \\
-        mongo_log_parser_spark/job.py --pages s3://bucket/pages --out s3://bucket/out
+        scripts/submit_job.py --pages s3://bucket/pages --out s3://bucket/out
 
 Runs the full parse→route→aggregate pipeline, writes every sink (parquet +
 CSV), the JSON report, and — with --resumable — drives the per-day lineage
