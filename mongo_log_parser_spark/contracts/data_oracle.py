@@ -138,6 +138,49 @@ WHERE round(CAST(i.inter AS DOUBLE) / (za.n_sh + zb.n_sh - i.inter), 6) >= {JACC
 """
 
 
+def q_neardup_clusters() -> str:
+    """Connected components of the verified near-dup graph as a recursive
+    CTE: reach(node, label) is seeded with (n, n) for every endpoint and
+    closed over edges (keeping only labels smaller than the node they reach —
+    the component minimum always survives that pruning, since it is smaller
+    than every other member id on its propagation path); min(label) per node
+    is the representative. Independent of the Spark loop's iteration order."""
+    return f"""WITH RECURSIVE {_bands_cte()},
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+  GROUP BY c.id_a, c.id_b
+),
+pairs AS (
+  SELECT i.id_a, i.id_b
+  FROM inter i JOIN sizes za ON za.doc_id = i.id_a JOIN sizes zb ON zb.doc_id = i.id_b
+  WHERE round(CAST(i.inter AS DOUBLE) / (za.n_sh + zb.n_sh - i.inter), 6) >= {JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+reach(node, label) AS (
+    SELECT src, src FROM edges
+  UNION
+    SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+    WHERE r.label < e.dst
+),
+labels AS (SELECT node, min(label) AS rep_id FROM reach GROUP BY node),
+csize AS (SELECT rep_id, count(*) AS cluster_size FROM labels GROUP BY rep_id)
+SELECT l.node AS doc_id, l.rep_id, c.cluster_size, l.node = l.rep_id AS keeper
+FROM labels l JOIN csize c USING (rep_id)
+"""
+
+
 def q_ngram_jaccard() -> str:
     n = NGRAM_W
     return f"""WITH {_bands_cte()},
@@ -452,6 +495,7 @@ def oracles(sf: float = 0.01) -> dict[str, str]:
         "dedup_lsh_candidates": q_lsh_candidates(),
         "dedup_lsh_candidates_128x32": q_lsh_candidates(128, 32),
         "dedup_neardup_pairs": q_neardup_pairs(),
+        "dedup_neardup_clusters": q_neardup_clusters(),
         "dedup_ngram_jaccard": q_ngram_jaccard(),
         "dedup_simhash_signatures": q_simhash_signatures(),
         "sim_cosine_topk": q_cosine_topk(),

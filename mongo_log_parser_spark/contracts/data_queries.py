@@ -132,6 +132,13 @@ def q_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"))
 
 
+def q_neardup_clusters(spark, sf_dir):
+    """Dedup capstone: verified near-dup pairs → connected components →
+    per-doc cluster representative + keeper flag (iterative min-label
+    propagation, one shuffle per round, O(diameter) rounds)."""
+    return dedup.neardup_clusters(_t(spark, sf_dir, "documents"))
+
+
 def q_simhash_signatures(spark, sf_dir):
     return dedup.simhash_signatures(_t(spark, sf_dir, "documents"))
 
@@ -231,6 +238,7 @@ DATA_QUERIES = {
     "dedup_lsh_candidates": q_lsh_candidates,
     "dedup_lsh_candidates_128x32": q_lsh_candidates_128x32,
     "dedup_neardup_pairs": q_neardup_pairs,
+    "dedup_neardup_clusters": q_neardup_clusters,
     "dedup_ngram_jaccard": q_ngram_jaccard,
     "dedup_simhash_signatures": q_simhash_signatures,
     "sim_cosine_topk": q_cosine_topk,

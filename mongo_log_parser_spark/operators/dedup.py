@@ -204,3 +204,83 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
 
     out = docs.select(id_col, simhash_udf(F.col(text_col)).alias("simhash_bits"))
     return out.withColumn("bucket", F.substring("simhash_bits", 1, SIMHASH_PREFIX_BITS))
+
+
+# --------------------------------------------------- duplicate clustering
+
+def connected_components(pairs: DataFrame, src: str = "id_a", dst: str = "id_b",
+                         max_iters: int = 20) -> DataFrame:
+    """Connected components over an undirected pair set → (node, rep_id).
+
+    The dedup capstone: LSH gives candidate pairs and Jaccard verification
+    gives edges, but to actually deduplicate a corpus you need the CLUSTERS —
+    each document mapped to one representative (the minimum id in its
+    component), so a keep-list is `rep_id == node`.
+
+    Implementation: iterative min-label propagation expressed relationally —
+    each round is one shuffle join (edges ⋈ labels) plus one min-aggregate,
+    with an exact convergence check (stop when no label changed). Rounds
+    needed = the component diameter; near-dup clusters are shallow (a dup
+    "clique" has diameter 1-2), so 2-4 rounds in practice. For adversarially
+    long chains at 10^12-doc scale the same loop admits the alternating
+    large-star/small-star optimization (Kiveris et al., "Connected Components
+    in MapReduce and Beyond", SoCC'14) which converges in O(log n) rounds;
+    the plain form is kept because dup-graph diameters are tiny and each
+    round is a single partial-aggregated shuffle. Lineage is cut per round
+    with localCheckpoint (eager) so the plan stays O(1) deep; on a real
+    cluster use a reliable checkpoint dir instead.
+    """
+    pairs = pairs.select(src, dst)
+    edges = (
+        pairs.select(F.col(src).alias("esrc"), F.col(dst).alias("edst"))
+        .unionByName(pairs.select(F.col(dst).alias("esrc"), F.col(src).alias("edst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("esrc").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        prop = (
+            edges.join(labels, edges["esrc"] == labels["node"])
+            .select(F.col("edst").alias("node"), "label")
+        )
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("rep_id"))
+
+
+def neardup_clusters(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                     threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    """Full dedup pipeline: LSH candidates → exact-Jaccard verify → connected
+    components → (doc_id, rep_id, cluster_size, keeper).
+
+    Returns one row per document that participates in any verified near-dup
+    pair; `keeper` marks the cluster representative (min doc_id). Docs with
+    no near-dup pair are implicitly their own keepers and are not listed
+    (at corpus scale the pair-participating set is a small fraction, so this
+    output — the only part that needs the iterative CC — stays small)."""
+    edges = connected_components(
+        neardup_pairs(docs, id_col, text_col, threshold).select("id_a", "id_b"))
+    sizes = edges.groupBy("rep_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        edges.join(sizes, "rep_id")
+        .select(F.col("node").alias(id_col), "rep_id", "cluster_size",
+                (F.col("node") == F.col("rep_id")).alias("keeper"))
+    )

@@ -223,3 +223,38 @@ def test_cosine_topk_bruteforce_sanity(spark):
         scores = [r["cosine"] for r in sorted(rows, key=lambda r: r["rank"])]
         assert scores == sorted(scores, reverse=True)
         assert all(r["neighbor_id"] != q for r in rows)
+
+
+def test_connected_components_topologies(spark):
+    """Min-label propagation must converge past diameter-1 graphs: a 6-node
+    chain (diameter 5, forces multiple propagation rounds), a star, a
+    separate 2-cycle component, and a singleton-free edge list."""
+    from mongo_log_parser_spark.operators import dedup
+
+    # chain 10-11-12-13-14-15, star 20-(21,22,23), pair 30-31; shuffled order
+    edges = [(13, 14), (11, 10), (12, 13), (15, 14), (11, 12),
+             (23, 20), (20, 21), (22, 20), (31, 30)]
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {r["node"]: r["rep_id"] for r in dedup.connected_components(pairs).collect()}
+    assert got == {10: 10, 11: 10, 12: 10, 13: 10, 14: 10, 15: 10,
+                   20: 20, 21: 20, 22: 20, 23: 20, 30: 30, 31: 30}
+
+
+def test_neardup_clusters_consistent_with_pairs(spark):
+    """Every verified pair's two endpoints must land in the same cluster,
+    keeper = min doc_id of the cluster, sizes sum to the member count."""
+    from mongo_log_parser_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pairs = dedup.neardup_pairs(docs).select("id_a", "id_b").collect()
+    cl = dedup.neardup_clusters(docs).collect()
+    rep = {r["doc_id"]: r["rep_id"] for r in cl}
+    for p in pairs:
+        assert rep[p["id_a"]] == rep[p["id_b"]]
+    members: dict[int, list[int]] = {}
+    for r in cl:
+        members.setdefault(r["rep_id"], []).append(r["doc_id"])
+    for r in cl:
+        assert r["cluster_size"] == len(members[r["rep_id"]])
+        assert r["keeper"] == (r["doc_id"] == min(members[r["rep_id"]]))
+        assert r["rep_id"] == min(members[r["rep_id"]])
