@@ -209,9 +209,7 @@ FROM ginter i JOIN gsizes za ON za.doc_id = i.id_a JOIN gsizes zb ON zb.doc_id =
 """
 
 
-def q_simhash_signatures() -> str:
-    return """
-WITH toks AS (
+_SIMHASH_CTE = """toks AS (
   SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok FROM documents
 ),
 th AS (SELECT doc_id, substr(md5(tok), 1, 16) AS h FROM toks),
@@ -225,8 +223,26 @@ bits AS (
 sig AS (
   SELECT doc_id, string_agg(CASE WHEN w > 0 THEN '1' ELSE '0' END, '' ORDER BY k DESC) AS simhash_bits
   FROM bits GROUP BY doc_id
-)
-SELECT doc_id, simhash_bits, substr(simhash_bits, 1, 16) AS bucket FROM sig
+)"""
+
+
+def q_simhash_signatures() -> str:
+    return (f"WITH {_SIMHASH_CTE}\n"
+            "SELECT doc_id, simhash_bits, substr(simhash_bits, 1, 16) AS bucket FROM sig")
+
+
+def q_simhash_neardup(max_hamming: int = 16) -> str:
+    """Prefix-blocked SimHash pairs with exact Hamming verify — replicates
+    dedup.simhash_neardup_pairs (same 16-bit prefix blocking, same 64-position
+    Hamming fold) over the SQL simhash replica."""
+    return f"""WITH {_SIMHASH_CTE},
+sb AS (SELECT doc_id, simhash_bits, substr(simhash_bits, 1, 16) AS bucket FROM sig)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  CAST(len(list_filter(generate_series(1, 64),
+    i -> substr(a.simhash_bits, i, 1) <> substr(b.simhash_bits, i, 1))) AS INTEGER) AS hamming
+FROM sb a JOIN sb b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+WHERE len(list_filter(generate_series(1, 64),
+    i -> substr(a.simhash_bits, i, 1) <> substr(b.simhash_bits, i, 1))) <= {max_hamming}
 """
 
 
@@ -498,6 +514,7 @@ def oracles(sf: float = 0.01) -> dict[str, str]:
         "dedup_neardup_clusters": q_neardup_clusters(),
         "dedup_ngram_jaccard": q_ngram_jaccard(),
         "dedup_simhash_signatures": q_simhash_signatures(),
+        "dedup_simhash_neardup": q_simhash_neardup(),
         "sim_cosine_topk": q_cosine_topk(),
         "sim_ann_buckets": q_ann_buckets(),
         "sim_ann_buckets_p16": q_ann_buckets(16),

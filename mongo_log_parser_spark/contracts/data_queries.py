@@ -143,6 +143,12 @@ def q_simhash_signatures(spark, sf_dir):
     return dedup.simhash_signatures(_t(spark, sf_dir, "documents"))
 
 
+def q_simhash_neardup(spark, sf_dir):
+    """SimHash near-dups: prefix-bucket blocking + exact Hamming verify
+    (JVM higher-order fold, no Python in the pair loop)."""
+    return dedup.simhash_neardup_pairs(_t(spark, sf_dir, "documents"))
+
+
 # -------------------------------------------------------------- similarity
 
 def q_cosine_topk(spark, sf_dir):
@@ -241,6 +247,7 @@ DATA_QUERIES = {
     "dedup_neardup_clusters": q_neardup_clusters,
     "dedup_ngram_jaccard": q_ngram_jaccard,
     "dedup_simhash_signatures": q_simhash_signatures,
+    "dedup_simhash_neardup": q_simhash_neardup,
     "sim_cosine_topk": q_cosine_topk,
     "sim_ann_buckets": q_ann_buckets,
     "sim_ann_buckets_p16": q_ann_buckets_p16,

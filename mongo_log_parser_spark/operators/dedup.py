@@ -206,6 +206,31 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
     return out.withColumn("bucket", F.substring("simhash_bits", 1, SIMHASH_PREFIX_BITS))
 
 
+def simhash_neardup_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                          max_hamming: int = 16) -> DataFrame:
+    """SimHash near-dup pairs: block by the signature's first
+    SIMHASH_PREFIX_BITS bits (docs differing there can't be close), then
+    verify candidates with the exact Hamming distance over the full 64-bit
+    signature. The Hamming fold is a JVM-side higher-order expression
+    (transform/filter over the bit string — no Python in the pair loop);
+    candidate volume is bounded by the prefix blocking, never all-pairs.
+    At corpus scale, multi-table SimHash (several rotated prefix blocks)
+    raises recall the same way — each block is one more bucket-equi-join."""
+    sig = simhash_signatures(docs, id_col, text_col)
+    a = sig.select(F.col(id_col).alias("id_a"), F.col("simhash_bits").alias("sig_a"), "bucket")
+    b = sig.select(F.col(id_col).alias("id_b"), F.col("simhash_bits").alias("sig_b"), "bucket")
+    ham = F.expr(
+        "size(filter(transform(sequence(1, 64),"
+        " i -> substr(sig_a, i, 1) <> substr(sig_b, i, 1)), x -> x))")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 # --------------------------------------------------- duplicate clustering
 
 def connected_components(pairs: DataFrame, src: str = "id_a", dst: str = "id_b",
