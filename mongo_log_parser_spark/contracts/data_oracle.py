@@ -380,6 +380,37 @@ WHERE {cos} >= {threshold}
 """
 
 
+def q_embedding_clusters(threshold: float = 0.2) -> str:
+    """Connected components over the embedding-cosine near-dup graph — the
+    same recursive-CTE reach as q_neardup_clusters, seeded from the
+    q_embedding_neardup pair set."""
+    cos = ("round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) / "
+           "(sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) * "
+           "sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6)")
+    return f"""WITH RECURSIVE {_BUCKETS_CTE},
+v AS (SELECT e.*, bk.bucket FROM embeddings e JOIN buckets bk USING (vec_id)),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE {cos} >= {threshold}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+reach(node, label) AS (
+    SELECT src, src FROM edges
+  UNION
+    SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+    WHERE r.label < e.dst
+),
+labels AS (SELECT node, min(label) AS rep_id FROM reach GROUP BY node),
+csize AS (SELECT rep_id, count(*) AS cluster_size FROM labels GROUP BY rep_id)
+SELECT l.node AS vec_id, l.rep_id, c.cluster_size, l.node = l.rep_id AS keeper
+FROM labels l JOIN csize c USING (rep_id)
+"""
+
+
 def q_token_counts() -> str:
     return f"""
 SELECT doc_id,
@@ -522,6 +553,7 @@ def oracles(sf: float = 0.01) -> dict[str, str]:
         "sim_ivf_assign": q_ivf_assign(),
         "sim_ivf_topk": q_ivf_topk(),
         "dedup_embedding_neardup": q_embedding_neardup(),
+        "dedup_embedding_clusters": q_embedding_clusters(),
         "text_token_counts": q_token_counts(),
         "text_lang_id": q_lang_id(),
         "text_quality_scores": q_quality_scores(),

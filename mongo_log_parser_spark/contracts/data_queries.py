@@ -175,6 +175,20 @@ def q_embedding_neardup(spark, sf_dir):
     return similarity.embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"))
 
 
+def q_embedding_clusters(spark, sf_dir):
+    """connected_components reused on the embedding-cosine near-dup graph —
+    the same clustering capstone as dedup_neardup_clusters, over the other
+    near-dup family (one generic operator, two pipelines)."""
+    edges = similarity.embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"))
+    cc = dedup.connected_components(edges.select("id_a", "id_b"))
+    sizes = cc.groupBy("rep_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        cc.join(sizes, "rep_id")
+        .select(F.col("node").alias("vec_id"), "rep_id", "cluster_size",
+                (F.col("node") == F.col("rep_id")).alias("keeper"))
+    )
+
+
 def q_ivf_assign(spark, sf_dir):
     """IVF coarse-quantizer assignment (Arrow matmul, zero shuffle)."""
     return similarity.ivf_assign(_t(spark, sf_dir, "embeddings"))
@@ -255,6 +269,7 @@ DATA_QUERIES = {
     "sim_ivf_assign": q_ivf_assign,
     "sim_ivf_topk": q_ivf_topk,
     "dedup_embedding_neardup": q_embedding_neardup,
+    "dedup_embedding_clusters": q_embedding_clusters,
     "text_token_counts": q_token_counts,
     "text_lang_id": q_lang_id,
     "text_quality_scores": q_quality_scores,
