@@ -62,11 +62,16 @@ def build_zip(path: str) -> None:
 
 
 def one_run(submit: str, pkg_zip: str, n_exec: int, cores: int, mem_mb: int, sf: float) -> dict | None:
-    proc = subprocess.run(
-        [submit, "--master", f"local-cluster[{n_exec},{cores},{mem_mb}]",
-         "--driver-memory", "8g", "--py-files", pkg_zip,
-         os.path.join(REPO, "scripts", "cluster_timed_job.py"), "--sf", str(sf)],
-        cwd=REPO, capture_output=True, text=True, timeout=1500)
+    timeout = float(os.environ.get("SPARK_GRAFT_CLUSTER_RUN_TIMEOUT_SEC", "1500"))
+    try:
+        proc = subprocess.run(
+            [submit, "--master", f"local-cluster[{n_exec},{cores},{mem_mb}]",
+             "--driver-memory", "8g", "--py-files", pkg_zip,
+             os.path.join(REPO, "scripts", "cluster_timed_job.py"), "--sf", str(sf)],
+            cwd=REPO, capture_output=True, text=True, timeout=timeout)
+    except subprocess.TimeoutExpired:
+        # a hung submit must cost one measurement, not the whole evidence run
+        return {"error": f"timeout after {timeout:.0f}s"}
     if proc.returncode != 0:
         return {"error": proc.stderr[-500:]}
     m = re.findall(r'\{"elapsed_sec".*\}', proc.stdout)
