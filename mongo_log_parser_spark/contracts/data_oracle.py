@@ -380,6 +380,49 @@ WHERE {cos} >= {threshold}
 """
 
 
+def q_corpus_kept() -> str:
+    """Kept corpus after exact dedup (min doc_id per md5(text)) and near-dup
+    cluster pruning (representatives only) — the recursive-CTE components of
+    q_neardup_clusters with the keeper filter applied."""
+    return f"""WITH RECURSIVE {_bands_cte()},
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+  GROUP BY c.id_a, c.id_b
+),
+pairs AS (
+  SELECT i.id_a, i.id_b
+  FROM inter i JOIN sizes za ON za.doc_id = i.id_a JOIN sizes zb ON zb.doc_id = i.id_b
+  WHERE round(CAST(i.inter AS DOUBLE) / (za.n_sh + zb.n_sh - i.inter), 6) >= {JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+reach(node, label) AS (
+    SELECT src, src FROM edges
+  UNION
+    SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+    WHERE r.label < e.dst
+),
+labels AS (SELECT node, min(label) AS rep_id FROM reach GROUP BY node),
+exact_keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+near_drop AS (SELECT node AS doc_id FROM labels WHERE node <> rep_id)
+SELECT d.doc_id, CAST(length(d.text) AS INTEGER) AS n_chars
+FROM documents d
+JOIN exact_keep USING (doc_id)
+WHERE d.doc_id NOT IN (SELECT doc_id FROM near_drop)
+"""
+
+
 def q_embedding_clusters(threshold: float = 0.2) -> str:
     """Connected components over the embedding-cosine near-dup graph — the
     same recursive-CTE reach as q_neardup_clusters, seeded from the
@@ -543,6 +586,7 @@ def oracles(sf: float = 0.01) -> dict[str, str]:
         "dedup_lsh_candidates_128x32": q_lsh_candidates(128, 32),
         "dedup_neardup_pairs": q_neardup_pairs(),
         "dedup_neardup_clusters": q_neardup_clusters(),
+        "dedup_corpus_kept": q_corpus_kept(),
         "dedup_ngram_jaccard": q_ngram_jaccard(),
         "dedup_simhash_signatures": q_simhash_signatures(),
         "dedup_simhash_neardup": q_simhash_neardup(),

@@ -149,6 +149,24 @@ def q_simhash_neardup(spark, sf_dir):
     return dedup.simhash_neardup_pairs(_t(spark, sf_dir, "documents"))
 
 
+def q_corpus_kept(spark, sf_dir):
+    """The dedup pipeline's actual product: the kept document set after
+    (1) exact dedup — keep min doc_id per md5(text) — and (2) near-dup
+    pruning — keep only cluster representatives. left_semi against the
+    exact keepers, left_anti against the non-keeper cluster members; both
+    doc_id-keyed shuffle joins that AQE plans (the near-dup drop side is
+    tiny — pair-participating docs only — and broadcasts)."""
+    docs = _t(spark, sf_dir, "documents")
+    exact_keepers = dedup.exact_duplicates(docs).select(
+        F.col("keeper_id").alias("doc_id"))
+    near_dropped = dedup.neardup_clusters(docs).filter(~F.col("keeper")).select("doc_id")
+    return (
+        docs.join(exact_keepers, "doc_id", "left_semi")
+        .join(near_dropped, "doc_id", "left_anti")
+        .select("doc_id", F.length("text").alias("n_chars"))
+    )
+
+
 # -------------------------------------------------------------- similarity
 
 def q_cosine_topk(spark, sf_dir):
@@ -259,6 +277,7 @@ DATA_QUERIES = {
     "dedup_lsh_candidates_128x32": q_lsh_candidates_128x32,
     "dedup_neardup_pairs": q_neardup_pairs,
     "dedup_neardup_clusters": q_neardup_clusters,
+    "dedup_corpus_kept": q_corpus_kept,
     "dedup_ngram_jaccard": q_ngram_jaccard,
     "dedup_simhash_signatures": q_simhash_signatures,
     "dedup_simhash_neardup": q_simhash_neardup,
