@@ -423,6 +423,27 @@ WHERE d.doc_id NOT IN (SELECT doc_id FROM near_drop)
 """
 
 
+def q_corpus_stats() -> str:
+    """Per-language rollup over the kept corpus: the q_corpus_kept CTE chain
+    with the token-count and quality-score query bodies embedded as
+    subqueries (single source of truth for each expression)."""
+    kept_body = q_corpus_kept()
+    # strip the leading WITH RECURSIVE ... and reuse verbatim as a subquery
+    return f"""WITH kept AS ({kept_body}),
+tok AS ({q_token_counts()}),
+qual AS ({q_quality_scores()})
+SELECT d.lang,
+  count(*) AS n_docs,
+  CAST(sum(tok.ws_tokens) AS BIGINT) AS total_ws_tokens,
+  round(avg(qual.quality_score), 6) AS avg_quality
+FROM documents d
+JOIN kept ON kept.doc_id = d.doc_id
+JOIN tok ON tok.doc_id = d.doc_id
+JOIN qual ON qual.doc_id = d.doc_id
+GROUP BY d.lang
+"""
+
+
 def q_embedding_clusters(threshold: float = 0.2) -> str:
     """Connected components over the embedding-cosine near-dup graph — the
     same recursive-CTE reach as q_neardup_clusters, seeded from the
@@ -587,6 +608,7 @@ def oracles(sf: float = 0.01) -> dict[str, str]:
         "dedup_neardup_pairs": q_neardup_pairs(),
         "dedup_neardup_clusters": q_neardup_clusters(),
         "dedup_corpus_kept": q_corpus_kept(),
+        "text_corpus_stats": q_corpus_stats(),
         "dedup_ngram_jaccard": q_ngram_jaccard(),
         "dedup_simhash_signatures": q_simhash_signatures(),
         "dedup_simhash_neardup": q_simhash_neardup(),

@@ -167,6 +167,26 @@ def q_corpus_kept(spark, sf_dir):
     )
 
 
+def q_corpus_stats(spark, sf_dir):
+    """Dataset-card rollup over the deduplicated corpus: per-language kept
+    document count, total whitespace tokens, and mean quality score —
+    the composition row proving dedup + textstats chain into one plan
+    (kept set → two narrow column-math projections → one hash aggregate)."""
+    docs = _t(spark, sf_dir, "documents")
+    kept = q_corpus_kept(spark, sf_dir).select("doc_id")
+    toks = textstats.token_counts(docs).select("doc_id", "ws_tokens")
+    qual = textstats.quality_scores(docs).select("doc_id", "quality_score")
+    return (
+        docs.join(kept, "doc_id", "left_semi")
+        .join(toks, "doc_id")
+        .join(qual, "doc_id")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("ws_tokens").alias("total_ws_tokens"),
+             F.round(F.avg("quality_score"), 6).alias("avg_quality"))
+    )
+
+
 # -------------------------------------------------------------- similarity
 
 def q_cosine_topk(spark, sf_dir):
@@ -278,6 +298,7 @@ DATA_QUERIES = {
     "dedup_neardup_pairs": q_neardup_pairs,
     "dedup_neardup_clusters": q_neardup_clusters,
     "dedup_corpus_kept": q_corpus_kept,
+    "text_corpus_stats": q_corpus_stats,
     "dedup_ngram_jaccard": q_ngram_jaccard,
     "dedup_simhash_signatures": q_simhash_signatures,
     "dedup_simhash_neardup": q_simhash_neardup,
