@@ -543,6 +543,18 @@ GROUP BY doc_id
 """
 
 
+def q_warc_scan(sf: float) -> str:
+    """The WARC roundtrip oracle is simply the pages table itself: read_warc
+    over datagen.ensure_warc(sf)'s segments must reproduce every (url,
+    warc_ts, octet_length(html)) row of the source parquet."""
+    datagen.ensure_warc(sf)
+    return f"""
+SELECT url, CAST(warc_ts AS TIMESTAMP) AS warc_ts,
+  CAST(octet_length(html) AS BIGINT) AS n_bytes
+FROM read_parquet('{datagen.pages_glob(sf)}')
+"""
+
+
 def q_media_meta(sf: float) -> str:
     p = datagen.pages_glob(sf)
     return f"""
@@ -601,6 +613,7 @@ def oracles(sf: float = 0.01) -> dict[str, str]:
         "rel_orders_window": q_orders_window(),
         "rel_cust_no_orders": q_cust_no_orders(),
         "rel_pricing_rollup": q_pricing_rollup(),
+        "warc_scan": q_warc_scan(sf),
         "dedup_exact": q_dedup_exact(),
         "dedup_minhash_signatures": q_minhash_signatures(),
         "dedup_lsh_candidates": q_lsh_candidates(),

@@ -101,6 +101,21 @@ def q_pricing_rollup(spark, sf_dir):
     )
 
 
+def q_warc_scan(spark, sf_dir):
+    """WARC ingest roundtrip: read the deterministic WARC/1.1 segment files
+    (rendered once from the pages table — the Common-Crawl input format)
+    through sources/warc.read_warc (binaryFile scan + stdlib record parser
+    in mapInPandas) and project the fields the oracle can recompute from
+    the pages parquet directly. Equality proves the ingest path reproduces
+    the table: urls, timestamps (µs), and payload sizes all survive."""
+    from ..sources import warc
+
+    sf = sf_from_dir(sf_dir)
+    df = warc.read_warc(spark, datagen.ensure_warc(sf))
+    return df.select("url", "warc_ts",
+                     F.length("html").cast("long").alias("n_bytes"))
+
+
 # ------------------------------------------------------------------ dedup
 
 def q_dedup_exact(spark, sf_dir):
@@ -291,6 +306,7 @@ DATA_QUERIES = {
     "rel_orders_window": q_orders_window,
     "rel_cust_no_orders": q_cust_no_orders,
     "rel_pricing_rollup": q_pricing_rollup,
+    "warc_scan": q_warc_scan,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_signatures": q_minhash_signatures,
     "dedup_lsh_candidates": q_lsh_candidates,

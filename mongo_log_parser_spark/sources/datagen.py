@@ -454,6 +454,59 @@ def _gif_bytes(w: int, h: int, seed: int) -> bytes:
     return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00" + body + b"\x3b"
 
 
+def warc_path(sf: float) -> str:
+    return os.path.join(DATA_ROOT, "warc", GEN_VERSION, f"sf{sf}", "segments")
+
+
+def ensure_warc(sf: float) -> str:
+    """Render the pages table as deterministic WARC/1.1 segment files (the
+    Common-Crawl ingest format): same contiguous row slices as the parquet
+    part files (n_files), even-indexed segments plain .warc, odd-indexed
+    .warc.gz (mtime=0 so bytes are reproducible). Roundtrip contract:
+    sources/warc.read_warc over this directory must reproduce
+    (url, warc_ts, html) of the pages table exactly."""
+    import gzip as _gzip
+
+    import pyarrow.parquet as pq
+
+    from .warc import write_record
+
+    path = warc_path(sf)
+    if os.path.isdir(path):
+        return path
+    table = pq.read_table(pages_path(sf), columns=["url", "warc_ts", "html"])
+    n = table.num_rows
+    k = n_files(n)
+    per = -(-n // k)  # ceil — matches _write_parts slicing
+    tmp = path + ".tmp"
+    if os.path.exists(tmp):
+        import shutil
+
+        shutil.rmtree(tmp)
+    os.makedirs(tmp)
+    import io as _io
+
+    for i in range(k):
+        sl = table.slice(i * per, per)
+        if sl.num_rows == 0:
+            break
+        buf = _io.BytesIO()
+        urls = sl.column("url").to_pylist()
+        tss = sl.column("warc_ts").to_pylist()
+        htmls = sl.column("html").to_pylist()
+        for url, ts, html in zip(urls, tss, htmls):
+            write_record(buf, url, ts, html, record_id=_md5hex(url))
+        if i % 2 == 0:
+            with open(os.path.join(tmp, f"seg-{i:05d}.warc"), "wb") as f:
+                f.write(buf.getvalue())
+        else:
+            with open(os.path.join(tmp, f"seg-{i:05d}.warc.gz"), "wb") as f:
+                with _gzip.GzipFile(fileobj=f, mode="wb", mtime=0) as gz:
+                    gz.write(buf.getvalue())
+    os.replace(tmp, path)
+    return path
+
+
 def media_path(sf: float) -> str:
     return os.path.join(DATA_ROOT, "media", GEN_VERSION, f"sf{sf}", "media")
 

@@ -449,3 +449,62 @@ def test_shards_with_ns_filter_consistent(spark, tmp_path):
         assert checked >= 2  # the filter kept real data; sums weren't 0==0
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_warc_roundtrip_bytes(spark):
+    """WARC render → read_warc must reproduce (url, warc_ts, html) of the
+    pages table exactly, byte-for-byte html, through both the plain .warc
+    and the gzipped .warc.gz segments."""
+    from mongo_log_parser_spark.sources import datagen, warc
+
+    pages_p = datagen.ensure_pages(0.001)
+    warc_p = datagen.ensure_warc(0.001)
+    import os
+
+    names = sorted(os.listdir(warc_p))
+    assert any(n.endswith(".warc") for n in names)
+    # sf0.001 renders a single plain segment (n_files=1); the gzip read path
+    # is covered byte-level in test_warc_parser_malformed_and_skips
+
+    src = {r["url"]: r for r in spark.read.parquet(pages_p)
+           .select("url", "warc_ts", "html").collect()}
+    got = {r["url"]: r for r in warc.read_warc(spark, warc_p).collect()}
+    assert set(got) == set(src)
+    for url, row in src.items():
+        assert got[url]["html"] == row["html"], url
+        assert got[url]["warc_ts"] == row["warc_ts"], url
+
+
+def test_warc_parser_malformed_and_skips():
+    """Non-resource records are skipped; truncated/garbage input raises with
+    a byte offset instead of silently dropping records."""
+    import io
+    from datetime import datetime, timezone
+
+    import pytest
+
+    from mongo_log_parser_spark.sources import warc
+
+    ts = datetime(2025, 7, 1, 0, 0, 0, 527000, tzinfo=timezone.utc)
+    buf = io.BytesIO()
+    # a warcinfo record (skipped) followed by a resource record (kept)
+    buf.write(b"WARC/1.1\r\nWARC-Type: warcinfo\r\nContent-Length: 3\r\n\r\nabc\r\n\r\n")
+    warc.write_record(buf, "https://x.example/1", ts, b"<html>1</html>", "cafe")
+    recs = list(warc.iter_warc_records(buf.getvalue()))
+    assert len(recs) == 2
+    kept = [(h, p) for h, p in recs if h.get("warc-type") == "resource"]
+    assert len(kept) == 1
+    assert kept[0][1] == b"<html>1</html>"
+    assert warc.parse_warc_date(kept[0][0]["warc-date"]) == ts
+
+    # the gzip segment path: same records, gz-compressed, sniffed by magic
+    import gzip
+
+    gz = gzip.compress(buf.getvalue())
+    assert list(warc.iter_warc_records(gz)) == recs
+
+    with pytest.raises(ValueError, match="no version line"):
+        list(warc.iter_warc_records(b"NOT A WARC FILE"))
+    with pytest.raises(ValueError, match="truncated"):
+        list(warc.iter_warc_records(
+            b"WARC/1.1\r\nWARC-Type: resource\r\nContent-Length: 99\r\n\r\nshort"))
