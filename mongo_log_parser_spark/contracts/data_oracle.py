@@ -555,6 +555,15 @@ FROM read_parquet('{datagen.pages_glob(sf)}')
 """
 
 
+def q_top_tokens(k: int = 100) -> str:
+    return f"""
+SELECT token, count(*) AS n FROM (
+  SELECT unnest({TOKENS}) AS token FROM documents
+) WHERE token <> ''
+GROUP BY token ORDER BY n DESC, token ASC LIMIT {k}
+"""
+
+
 def q_media_meta(sf: float) -> str:
     p = datagen.pages_glob(sf)
     return f"""
@@ -637,6 +646,7 @@ def oracles(sf: float = 0.01) -> dict[str, str]:
         "text_lang_id": q_lang_id(),
         "text_quality_scores": q_quality_scores(),
         "text_fingerprints": q_fingerprints(),
+        "text_top_tokens": q_top_tokens(),
         "media_meta": q_media_meta(sf),
         "media_decode": q_media_decode(sf),
     }

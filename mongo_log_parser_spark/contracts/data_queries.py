@@ -270,6 +270,23 @@ def q_fingerprints(spark, sf_dir):
     return textstats.fingerprints(_t(spark, sf_dir, "documents"))
 
 
+def q_top_tokens(spark, sf_dir, k: int = 100):
+    """Corpus vocabulary heavy hitters: explode whitespace tokens → count →
+    top-k. The textbook skewed aggregate ('the' dominates): partial
+    (map-side) aggregation collapses each partition's hot keys before the
+    one Exchange, and the top-k is TakeOrderedAndProject — no global sort.
+    Deterministic tiebreak (count desc, token asc) for the oracle hash."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(textstats.tokens("text")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(k)
+    )
+
+
 # -------------------------------------------------------------- multimodal
 
 def q_media_meta(spark, sf_dir):
@@ -330,6 +347,7 @@ DATA_QUERIES = {
     "text_lang_id": q_lang_id,
     "text_quality_scores": q_quality_scores,
     "text_fingerprints": q_fingerprints,
+    "text_top_tokens": q_top_tokens,
     "media_meta": q_media_meta,
     "media_decode": q_media_decode,
 }
