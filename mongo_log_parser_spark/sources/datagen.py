@@ -474,7 +474,7 @@ def ensure_warc(sf: float) -> str:
     path = warc_path(sf)
     if os.path.isdir(path):
         return path
-    table = pq.read_table(pages_path(sf), columns=["url", "warc_ts", "html"])
+    table = pq.read_table(ensure_pages(sf), columns=["url", "warc_ts", "html"])
     n = table.num_rows
     k = n_files(n)
     per = -(-n // k)  # ceil — matches _write_parts slicing
