@@ -254,6 +254,14 @@ def connected_components(pairs: DataFrame, src: str = "id_a", dst: str = "id_b",
     round is a single partial-aggregated shuffle. Lineage is cut per round
     with localCheckpoint (eager) so the plan stays O(1) deep; on a real
     cluster use a reliable checkpoint dir instead.
+
+    Measured design note: a persist()-based variant that pre-partitions the
+    loop-invariant edge set on the join key (InMemoryRelation preserves
+    outputPartitioning, saving one Exchange per round) was tried and
+    rejected — each round's cached plan nests every prior round's plan, so
+    analysis cost grows superlinearly with rounds, while the exchanges it
+    saves move only the pair-participating subset (a small fraction of the
+    corpus). Flat O(1)-deep plans win at scale.
     """
     pairs = pairs.select(src, dst)
     edges = (
