@@ -246,6 +246,32 @@ WHERE len(list_filter(generate_series(1, 64),
 """
 
 
+def q_simhash_multitable(max_hamming: int = 16, n_tables: int = 4) -> str:
+    """Multi-table SimHash blocking oracle: all `n_tables` disjoint 16-bit
+    blocks of the signature as blocking keys (dedup.simhash_multitable_pairs),
+    distinct candidate pairs, exact 64-position Hamming verify."""
+    width = 64 // n_tables
+    return f"""WITH {_SIMHASH_CTE},
+blocks AS (
+  SELECT doc_id, simhash_bits, t,
+    substr(simhash_bits, t * {width} + 1, {width}) AS block_key
+  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, {n_tables - 1})) AS t)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+    a.simhash_bits AS sa, b.simhash_bits AS sb
+  FROM blocks a JOIN blocks b ON a.t = b.t AND a.block_key = b.block_key
+  WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+  CAST(len(list_filter(generate_series(1, 64),
+    i -> substr(sa, i, 1) <> substr(sb, i, 1))) AS INTEGER) AS hamming
+FROM cand
+WHERE len(list_filter(generate_series(1, 64),
+    i -> substr(sa, i, 1) <> substr(sb, i, 1))) <= {max_hamming}
+"""
+
+
 _COSINE = (
     "round(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qvec AS DOUBLE[]))"
     " / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))"
@@ -549,7 +575,7 @@ def q_warc_scan(sf: float) -> str:
     warc_ts, octet_length(html)) row of the source parquet."""
     datagen.ensure_warc(sf)
     return f"""
-SELECT url, CAST(warc_ts AS TIMESTAMP) AS warc_ts,
+SELECT url, warc_ts AT TIME ZONE 'UTC' AS warc_ts,
   CAST(octet_length(html) AS BIGINT) AS n_bytes
 FROM read_parquet('{datagen.pages_glob(sf)}')
 """
@@ -634,6 +660,7 @@ def oracles(sf: float = 0.01) -> dict[str, str]:
         "dedup_ngram_jaccard": q_ngram_jaccard(),
         "dedup_simhash_signatures": q_simhash_signatures(),
         "dedup_simhash_neardup": q_simhash_neardup(),
+        "dedup_simhash_multitable": q_simhash_multitable(),
         "sim_cosine_topk": q_cosine_topk(),
         "sim_ann_buckets": q_ann_buckets(),
         "sim_ann_buckets_p16": q_ann_buckets(16),

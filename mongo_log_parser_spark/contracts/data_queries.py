@@ -164,6 +164,13 @@ def q_simhash_neardup(spark, sf_dir):
     return dedup.simhash_neardup_pairs(_t(spark, sf_dir, "documents"))
 
 
+def q_simhash_multitable(spark, sf_dir):
+    """Multi-table SimHash blocking (all four 16-bit blocks as blocking keys)
+    — the production recall variant; guaranteed to find every pair within
+    Hamming 3 and strictly dominates the single-prefix candidate set."""
+    return dedup.simhash_multitable_pairs(_t(spark, sf_dir, "documents"))
+
+
 def q_corpus_kept(spark, sf_dir):
     """The dedup pipeline's actual product: the kept document set after
     (1) exact dedup — keep min doc_id per md5(text) — and (2) near-dup
@@ -335,6 +342,7 @@ DATA_QUERIES = {
     "dedup_ngram_jaccard": q_ngram_jaccard,
     "dedup_simhash_signatures": q_simhash_signatures,
     "dedup_simhash_neardup": q_simhash_neardup,
+    "dedup_simhash_multitable": q_simhash_multitable,
     "sim_cosine_topk": q_cosine_topk,
     "sim_ann_buckets": q_ann_buckets,
     "sim_ann_buckets_p16": q_ann_buckets_p16,

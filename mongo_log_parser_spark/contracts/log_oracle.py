@@ -711,10 +711,13 @@ FROM ops WHERE ns_pass GROUP BY db, coll, op
 def q_stream_windowed_ops(path: str) -> str:
     """Batch equivalent of the streaming 1-day tumbling-window rollup: Spark's
     window('1 day') aligns to epoch days in the UTC session timezone, i.e.
-    date_trunc('day'). ops drops warc_ts (the k CTE projects it away), so join
-    back to pages on the unique synthetic url."""
+    date_trunc('day') over the UTC wall-clock value. `AT TIME ZONE 'UTC'`
+    pins the truncation to UTC regardless of the DuckDB session timezone
+    (parquet timestamps read back as TIMESTAMPTZ; bare date_trunc would
+    truncate in host-local time on a non-UTC host). ops drops warc_ts (the k
+    CTE projects it away), so join back to pages on the unique synthetic url."""
     return base_ctes(path) + """
-SELECT strftime(date_trunc('day', p.warc_ts), '%Y-%m-%d') AS window_day, o.op,
+SELECT strftime(date_trunc('day', p.warc_ts AT TIME ZONE 'UTC'), '%Y-%m-%d') AS window_day, o.op,
   count(*) AS count,
   CAST(COALESCE(sum(o.duration_ms), 0) AS BIGINT) AS total_ms
 FROM ops o JOIN pages p USING (url) WHERE o.ns_pass

@@ -173,8 +173,10 @@ def q_salted_op_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_redacted_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R8 per-url byte-identical redact∘trim transform (rows-only driver
-    check; byte-level goldens live in tests/test_redaction.py)."""
+    """R8 per-url byte-identical redact∘trim transform. Driver-oracle checked
+    by HASH against a committed pinned parquet (contracts/pins.py — DuckDB
+    recomputes the line selection, the expected transform output is the pin);
+    byte-level goldens live in tests/test_redaction.py."""
     from ..functions.redact import make_udfs
 
     kept = _streams(spark, sf_dir)["kept"]

@@ -73,11 +73,16 @@ def sniff_decode(payload: bytes) -> dict:
             "frames": 1, "thumbnail": payload[:16]}
     if n >= 24 and payload[:8] == b"\x89PNG\r\n\x1a\n" and payload[12:16] == b"IHDR":
         w, h = struct.unpack(">II", payload[16:24])
+        if w > 0x7FFFFFFF or h > 0x7FFFFFFF:  # u32 dims past int32 = malformed
+            return fake_decode(payload)
         return {**base, "media_kind": "png", "width": w, "height": h}
     if n >= 4 and payload[:2] == b"\xff\xd8":  # JPEG SOI
         off = 2
-        while off + 4 <= n:
-            if payload[off] != 0xFF:
+        while off + 2 <= n:
+            # fill bytes: any run of 0xFF pads the next marker (ITU T.81 B.1.1.2)
+            while off + 2 <= n and payload[off] == 0xFF and payload[off + 1] == 0xFF:
+                off += 1
+            if off + 2 > n or payload[off] != 0xFF:
                 break
             marker = payload[off + 1]
             if marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1/SOF2
@@ -85,9 +90,16 @@ def sniff_decode(payload: bytes) -> dict:
                     h, w = struct.unpack(">HH", payload[off + 5 : off + 9])
                     return {**base, "media_kind": "jpeg", "width": w, "height": h}
                 break
-            if marker == 0xD9:  # EOI before any SOF
+            if marker in (0xD9, 0xDA):  # EOI, or SOS (entropy data) before any SOF
+                break
+            if marker == 0x01 or 0xD0 <= marker <= 0xD8:  # TEM/RST0-7/SOI: length-less
+                off += 2
+                continue
+            if off + 4 > n:
                 break
             seg_len = struct.unpack(">H", payload[off + 2 : off + 4])[0]
+            if seg_len < 2:  # malformed length field — stop, don't loop
+                break
             off += 2 + seg_len
         return fake_decode(payload)
     if n >= 10 and payload[:6] in (b"GIF87a", b"GIF89a"):

@@ -33,6 +33,7 @@ SHINGLE_W = 3
 JACCARD_THRESHOLD = 0.5
 NGRAM_W = 5  # char n-grams for q_ngram_jaccard
 SIMHASH_PREFIX_BITS = 16
+SIMHASH_TABLES = 4  # multi-table blocking: 4 disjoint 16-bit blocks of the 64-bit sig
 
 
 def tokens_expr(text_col: str = "text"):
@@ -214,8 +215,9 @@ def simhash_neardup_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str
     signature. The Hamming fold is a JVM-side higher-order expression
     (transform/filter over the bit string — no Python in the pair loop);
     candidate volume is bounded by the prefix blocking, never all-pairs.
-    At corpus scale, multi-table SimHash (several rotated prefix blocks)
-    raises recall the same way — each block is one more bucket-equi-join."""
+    Single-prefix blocking caps recall (a near-dup pair differing inside the
+    first 16 bits is missed) — `simhash_multitable_pairs` is the production
+    variant that blocks on all four 16-bit blocks."""
     sig = simhash_signatures(docs, id_col, text_col)
     a = sig.select(F.col(id_col).alias("id_a"), F.col("simhash_bits").alias("sig_a"), "bucket")
     b = sig.select(F.col(id_col).alias("id_b"), F.col("simhash_bits").alias("sig_b"), "bucket")
@@ -225,6 +227,59 @@ def simhash_neardup_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str
     return (
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def simhash_multitable_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                             max_hamming: int = 16, n_tables: int = SIMHASH_TABLES) -> DataFrame:
+    """Multi-table SimHash near-dup pairs (the production recall variant of
+    `simhash_neardup_pairs`, Manku et al., WWW'07 block-permutation scheme).
+
+    Single-prefix blocking misses any true near-dup pair whose signatures
+    differ inside the first 16 bits. Here the 64-bit signature is split into
+    `n_tables` disjoint 16-bit blocks and each block is a blocking key in its
+    own table — equivalent to running the prefix scheme over n_tables
+    rotations of the signature. Pigeonhole guarantee: a pair within Hamming
+    distance n_tables-1 (= 3 at the default) MUST agree exactly on at least
+    one block, so recall there is 1.0; for larger distances each extra table
+    adds an independent chance to collide (vs exactly one with the single
+    prefix). Exact recall at any radius is measured empirically in
+    tests/test_dedup.py::test_simhash_multitable_recall against all-pairs
+    Hamming.
+
+    Plan shape: one explode to (table_id, block_key) — n_tables rows per doc —
+    then one bucket equi-join on (table_id, block_key), distinct on the pair,
+    and the same JVM-side 64-position Hamming fold as the single-table
+    operator. Shuffle volume is O(docs × n_tables), candidate volume is
+    bounded by block-bucket sizes — never all-pairs."""
+    width = 64 // n_tables
+    sig = simhash_signatures(docs, id_col, text_col)
+    blocks = F.array(*[
+        F.struct(
+            F.lit(t).alias("table_id"),
+            F.substring("simhash_bits", t * width + 1, width).alias("block_key"),
+        )
+        for t in range(n_tables)
+    ])
+    blocked = (
+        sig.select(id_col, "simhash_bits", F.explode(blocks).alias("b"))
+        .select(id_col, "simhash_bits", "b.table_id", "b.block_key")
+    )
+    a = blocked.select(F.col(id_col).alias("id_a"), F.col("simhash_bits").alias("sig_a"),
+                       "table_id", "block_key")
+    b = blocked.select(F.col(id_col).alias("id_b"), F.col("simhash_bits").alias("sig_b"),
+                       "table_id", "block_key")
+    ham = F.expr(
+        "size(filter(transform(sequence(1, 64),"
+        " i -> substr(sig_a, i, 1) <> substr(sig_b, i, 1)), x -> x))")
+    return (
+        a.join(b, ["table_id", "block_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()  # dedupe candidates that collide in several tables
         .withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
@@ -275,6 +330,7 @@ def connected_components(pairs: DataFrame, src: str = "id_a", dst: str = "id_b",
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iters):
         prop = (
             edges.join(labels, edges["esrc"] == labels["node"])
@@ -295,7 +351,19 @@ def connected_components(pairs: DataFrame, src: str = "id_a", dst: str = "id_b",
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # Unconverged labels are WRONG labels (split clusters) — never return
+        # them silently: a near-dup chain with diameter > max_iters would make
+        # corpus_kept keep duplicates undetected. Components of diameter D
+        # converge in <= D rounds; hitting this means the dup graph has an
+        # adversarially long chain — raise so the caller bumps max_iters or
+        # switches to the large-star/small-star variant (Kiveris et al.).
+        raise RuntimeError(
+            f"connected_components did not converge in max_iters={max_iters} "
+            "rounds (component diameter exceeds the round budget); raise "
+            "max_iters or use an O(log n)-round star-contraction variant")
     return labels.select("node", F.col("label").alias("rep_id"))
 
 

@@ -163,7 +163,7 @@ def json_report(sinks: dict[str, DataFrame], metadata: dict | None = None,
         "planCacheAnalysis": rows("plan_cache", "planCacheAnalysis", limit=top_sections),
         "indexStats": rows("index_stats", "indexStats", limit=top_sections),
         "transactions": rows("transactions", "transactions", limit=top_sections),
-        "slowPlanning": rows("slow_planning", limit=top_slow_planning, sort=False),
+        "slowPlanning": rows("slow_planning", "slowPlanning", limit=top_slow_planning, sort=False),
         "appNameConnections": rows("app_conn_stats", "appNameConnections", limit=top_sections),
         "driverStats": rows("driver_stats", "driverStats", limit=top_sections),
         "ignoredCategories": rows("ignored"),

@@ -80,6 +80,35 @@ def test_sniff_decode_real_headers():
         assert sniff_decode(b) == fake_decode(b)
 
 
+def test_sniff_decode_jpeg_marker_edge_cases():
+    """Real-world JPEG streams: fill bytes (0xFF padding) before markers and
+    length-less standalone markers (TEM 0x01, RST0-7 0xD0-0xD7) carry no
+    length field — the scanner must skip them instead of reading a bogus
+    big-endian 'length' out of image data; SOS before any SOF stops the scan;
+    PNG dims past int32 fall back rather than overflowing the Arrow schema."""
+    import struct
+
+    from mongo_log_parser_spark.functions.media import fake_decode, sniff_decode
+
+    sof = b"\xff\xc0" + struct.pack(">H", 17) + b"\x08" + struct.pack(">HH", 31, 47) + b"\x03" + b"\x00" * 9
+    # SOI, fill-byte run, TEM, RST3, then SOF0 — the pre-fix scanner read a
+    # fake length from TEM's neighbors and jumped into the weeds
+    jpeg = b"\xff\xd8" + b"\xff" * 5 + b"\xc0"[:0] + b"\xff\x01" + b"\xff\xd3" + sof
+    m = sniff_decode(jpeg)
+    assert (m["media_kind"], m["width"], m["height"]) == ("jpeg", 47, 31)
+    # fill bytes directly before SOF
+    m2 = sniff_decode(b"\xff\xd8" + b"\xff\xff\xff" + b"\xc0" + sof[2:])
+    assert (m2["media_kind"], m2["width"], m2["height"]) == ("jpeg", 47, 31)
+    # SOS before any SOF → no dims, fake_decode fallback (no scan into entropy data)
+    sos = b"\xff\xd8\xff\xda" + struct.pack(">H", 4) + b"\x01\x00" + b"\xff\x00" * 8
+    assert sniff_decode(sos) == fake_decode(sos)
+    # zero/short segment length must not loop forever
+    assert sniff_decode(b"\xff\xd8\xff\xe0\x00\x00AAAA") == fake_decode(b"\xff\xd8\xff\xe0\x00\x00AAAA")
+    # PNG with u32 dims beyond int32
+    png = b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0dIHDR" + struct.pack(">II", 0x80000001, 10) + b"\x00" * 5
+    assert sniff_decode(png) == fake_decode(png)
+
+
 def test_media_resize_stage(spark):
     """Binary-in → binary-out resize/frame-sample stage (deterministic fake
     resample; real deployments swap in PIL/ffmpeg at the marked line)."""
@@ -210,6 +239,35 @@ def test_lsh_candidates_superset_of_neardups(spark):
     assert near <= cand
 
 
+def test_simhash_multitable_recall(spark):
+    """Multi-table SimHash blocking vs exact all-pairs Hamming (ground truth
+    computed in pure Python over every doc pair at sf0.001):
+    (a) the single-prefix pair set is a STRICT subset of the multitable set,
+    (b) the multitable set has no false positives (Hamming verify is exact),
+    (c) pigeonhole guarantee holds — every pair within Hamming n_tables-1 = 3
+        is found, and
+    (d) recall against ground truth strictly improves."""
+    from mongo_log_parser_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sigs = {r["doc_id"]: dedup.simhash64(r["text"])
+            for r in docs.select("doc_id", "text").collect()}
+    ids = sorted(sigs)
+
+    def ham(a, b):
+        return sum(1 for x, y in zip(sigs[a], sigs[b]) if x != y)
+
+    exact = {(a, b): ham(a, b)
+             for i, a in enumerate(ids) for b in ids[i + 1:] if ham(a, b) <= 16}
+    single = {(r["id_a"], r["id_b"]) for r in dedup.simhash_neardup_pairs(docs).collect()}
+    multi = {(r["id_a"], r["id_b"]) for r in dedup.simhash_multitable_pairs(docs).collect()}
+    assert single < multi, "multitable must strictly dominate the single prefix"
+    assert multi <= set(exact), "Hamming verify must not admit false positives"
+    tight = {p for p, h in exact.items() if h <= 3}
+    assert tight <= multi, "pigeonhole: hamming<=3 pairs must always collide in one block"
+    assert len(multi) > len(single), "strictly more verified pairs (recall gain)"
+
+
 def test_cosine_topk_bruteforce_sanity(spark):
     from mongo_log_parser_spark.operators import similarity
 
@@ -238,6 +296,20 @@ def test_connected_components_topologies(spark):
     got = {r["node"]: r["rep_id"] for r in dedup.connected_components(pairs).collect()}
     assert got == {10: 10, 11: 10, 12: 10, 13: 10, 14: 10, 15: 10,
                    20: 20, 21: 20, 22: 20, 23: 20, 30: 30, 31: 30}
+
+
+def test_connected_components_unconverged_raises(spark):
+    """A component whose diameter exceeds the round budget must raise, not
+    silently return split clusters (min-label propagation moves the component
+    minimum one hop per round, so a 6-edge chain cannot finish in 2)."""
+    import pytest
+
+    from mongo_log_parser_spark.operators import dedup
+
+    chain = [(i, i + 1) for i in range(10, 16)]
+    pairs = spark.createDataFrame(chain, ["id_a", "id_b"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(pairs, max_iters=2)
 
 
 def test_neardup_clusters_consistent_with_pairs(spark):

@@ -48,6 +48,12 @@ def main():
     oracles = entrymod.oracle_sql(sf)
     sf_dir = f"/root/testdata/sf{sf}"
     con = duckdb.connect()
+    # Pin the oracle session to UTC: parquet timestamps surface as TIMESTAMPTZ
+    # and any truncation/CAST would otherwise follow the host timezone (the
+    # oracle SQL is also written TZ-independent via AT TIME ZONE 'UTC', but
+    # the driver's own DuckDB connection is outside our control — this keeps
+    # the local gate equivalent on any host).
+    con.execute("SET TimeZone='UTC'")
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
