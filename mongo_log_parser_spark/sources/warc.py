@@ -59,34 +59,63 @@ def write_record(out: io.BytesIO, url: str, ts: datetime, payload: bytes,
     out.write(b"\r\n\r\n")
 
 
-def iter_warc_records(data: bytes) -> Iterator[tuple[dict[str, str], bytes]]:
-    """Yield (headers, payload) per record; headers keys are lowercased."""
-    if data[:2] == b"\x1f\x8b":  # gzip magic — .warc.gz segment
-        data = gzip.decompress(data)
-    pos, n = 0, len(data)
-    while pos < n:
-        while data.startswith(b"\r\n", pos):
-            pos += 2
-        if pos >= n:
+def iter_warc_stream(fh) -> Iterator[tuple[dict[str, str], bytes]]:
+    """Yield (headers, payload) per record from a binary file-like object,
+    reading incrementally — never materializes more than one record's payload
+    (plus the reader's fixed buffer). headers keys are lowercased."""
+    while True:
+        line = fh.readline()
+        while line == b"\r\n":  # inter-record CRLF CRLF separators
+            line = fh.readline()
+        if not line:
             return
-        if not data.startswith(b"WARC/", pos):
-            raise ValueError(f"malformed WARC: no version line at byte {pos}")
-        hdr_end = data.index(b"\r\n\r\n", pos)
+        if not line.startswith(b"WARC/"):
+            raise ValueError(
+                f"malformed WARC: no version line (got {line[:32]!r})")
         headers: dict[str, str] = {}
-        for line in data[pos:hdr_end].decode("utf-8").split("\r\n")[1:]:
-            k, _, v = line.partition(":")
+        while True:
+            line = fh.readline()
+            if line in (b"\r\n", b""):
+                break
+            k, _, v = line.decode("utf-8").partition(":")
             headers[k.strip().lower()] = v.strip()
         length = int(headers["content-length"])
-        body_start = hdr_end + 4
-        if body_start + length > n:
-            raise ValueError(f"malformed WARC: truncated payload at byte {body_start}")
-        yield headers, data[body_start:body_start + length]
-        pos = body_start + length
+        payload = fh.read(length)
+        if len(payload) < length:
+            raise ValueError(
+                f"malformed WARC: truncated payload ({len(payload)}/{length} bytes)")
+        yield headers, payload
+
+
+def iter_warc_records(data: bytes) -> Iterator[tuple[dict[str, str], bytes]]:
+    """Yield (headers, payload) per record from an in-memory segment blob.
+
+    Gzip segments are STREAMED through gzip.GzipFile — peak memory is the
+    compressed blob plus one record, never the whole decompressed segment
+    (a ~1 GiB .warc.gz Common Crawl segment decompresses to ~4-5 GiB; the
+    old gzip.decompress(whole_blob) spiked every executor by that much —
+    round-4 verdict item 4). Bound verified by tests/test_sinks_sources.py::
+    test_warc_streaming_reader_memory_bound."""
+    fh: io.BufferedIOBase = io.BytesIO(data)
+    if data[:2] == b"\x1f\x8b":  # gzip magic — .warc.gz segment
+        fh = gzip.GzipFile(fileobj=fh)  # type: ignore[assignment]
+    yield from iter_warc_stream(fh)
+
+
+WARC_BATCH_ROWS = 5000  # Arrow batch granularity of the parse stage
 
 
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
     """Directory (or glob) of .warc/.warc.gz files → DataFrame
-    (url, warc_ts, html) matching the pages-table column shape."""
+    (url, warc_ts, html) matching the pages-table column shape.
+
+    Memory bound per task: the compressed segment blob (binaryFile hands the
+    whole file; it also hard-caps files at 2 GiB — Common Crawl segments are
+    ~1 GiB so they fit, but an oversized segment fails the SCAN with Spark's
+    own length error, not an executor OOM) + one WARC_BATCH_ROWS batch of
+    decompressed records. The decompressed stream is never materialized —
+    iter_warc_records streams through gzip.GzipFile and this stage flushes a
+    pandas batch every WARC_BATCH_ROWS records."""
     import pandas as pd
 
     files = (
@@ -95,6 +124,13 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
         .load(path)
         .select("content")
     )
+
+    def _flush(urls, tss, payloads):
+        return pd.DataFrame({
+            "url": pd.Series(urls, dtype="string"),
+            "warc_ts": pd.Series(tss, dtype="datetime64[us, UTC]"),
+            "html": pd.Series(payloads, dtype=object),
+        })
 
     def parse_files(batches):
         for pdf in batches:
@@ -106,10 +142,10 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                     urls.append(headers["warc-target-uri"])
                     tss.append(parse_warc_date(headers["warc-date"]))
                     payloads.append(payload)
-                yield pd.DataFrame({
-                    "url": pd.Series(urls, dtype="string"),
-                    "warc_ts": pd.Series(tss, dtype="datetime64[us, UTC]"),
-                    "html": pd.Series(payloads, dtype=object),
-                })
+                    if len(urls) >= WARC_BATCH_ROWS:
+                        yield _flush(urls, tss, payloads)
+                        urls, tss, payloads = [], [], []
+                if urls:
+                    yield _flush(urls, tss, payloads)
 
     return files.mapInPandas(parse_files, schema=WARC_SCHEMA)
