@@ -84,38 +84,78 @@ _SESSION_STATE = StructType([
 ])
 
 
-def _session_fn(key, pdfs, state: GroupState):
-    """Stateful start/end matcher: emits a closed session once both ends of a
-    connection have been seen; unmatched halves stay in state (on a live
-    stream a timeout policy would evict them — with AvailableNow drains a
-    timeout would loop the no-data state-cleanup phase forever, so the batch
-    analog J2 simply ignores unmatched connections)."""
-    import pandas as pd
-
-    (conn_id,) = key
-    start_ms, end_ms = state.get if state.exists else (None, None)
-    for pdf in pdfs:
-        for _, row in pdf.iterrows():
-            ems = int(row["epoch_ms"])
-            if row["kind"] == "start":
-                start_ms = ems if start_ms is None else min(start_ms, ems)
-            else:
-                end_ms = ems if end_ms is None else max(end_ms, ems)
-    if start_ms is not None and end_ms is not None and end_ms > start_ms:
-        state.remove()
-        yield pd.DataFrame(
-            [[conn_id,
-              pd.Timestamp(start_ms, unit="ms"),
-              pd.Timestamp(end_ms, unit="ms"),
-              end_ms - start_ms, "closed"]],
-            columns=["conn_id", "start_ts", "end_ts", "lifetime_ms", "status"],
-        )
-    else:
-        state.update((start_ms, end_ms))
+_SESSION_COLS = ["conn_id", "start_ts", "end_ts", "lifetime_ms", "status"]
 
 
-def streaming_conn_sessions(pages: DataFrame) -> DataFrame:
-    """applyInPandasWithState sessionization of connection lifecycles (J2)."""
+def _make_session_fn(timeout_ms: int | None):
+    """Build the stateful start/end matcher. `timeout_ms=None` (the oracle
+    path, drained with AvailableNow) leaves unmatched halves in state forever
+    — matching the batch analog J2, which ignores unmatched connections.
+    With a timeout, every state update arms a processing-time timer; a
+    connection that stays half-open past the timer is EVICTED as an
+    'expired' row (the live-stream deployment mode — state size stays
+    bounded by the active-connection count, not the stream history)."""
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (conn_id,) = key
+        if timeout_ms is not None and state.hasTimedOut:
+            start_ms, end_ms = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [[conn_id,
+                  pd.Timestamp(start_ms, unit="ms") if start_ms is not None else pd.NaT,
+                  pd.Timestamp(end_ms, unit="ms") if end_ms is not None else pd.NaT,
+                  None, "expired"]],
+                columns=_SESSION_COLS,
+            )
+            return
+        start_ms, end_ms = state.get if state.exists else (None, None)
+        for pdf in pdfs:
+            # columnar min/max per batch — no per-row Python loop
+            starts = pdf.loc[pdf["kind"] == "start", "epoch_ms"]
+            ends = pdf.loc[pdf["kind"] != "start", "epoch_ms"]
+            if len(starts):
+                s = int(starts.min())
+                start_ms = s if start_ms is None else min(start_ms, s)
+            if len(ends):
+                e = int(ends.max())
+                end_ms = e if end_ms is None else max(end_ms, e)
+        if start_ms is not None and end_ms is not None and end_ms > start_ms:
+            state.remove()
+            yield pd.DataFrame(
+                [[conn_id,
+                  pd.Timestamp(start_ms, unit="ms"),
+                  pd.Timestamp(end_ms, unit="ms"),
+                  end_ms - start_ms, "closed"]],
+                columns=_SESSION_COLS,
+            )
+        else:
+            state.update((start_ms, end_ms))
+            if timeout_ms is not None:
+                state.setTimeoutDuration(timeout_ms)
+
+    return fn
+
+
+_session_fn = _make_session_fn(None)
+
+
+def streaming_conn_sessions(pages: DataFrame, timeout_ms: int | None = None) -> DataFrame:
+    """applyInPandasWithState sessionization of connection lifecycles (J2).
+
+    `timeout_ms=None` (default) uses NoTimeout — the AvailableNow/oracle
+    configuration. A live deployment passes a processing-time timeout so
+    half-open connections are evicted as 'expired' rows instead of pinning
+    state forever (tests/test_manifest_streaming.py drives the eviction).
+
+    Measured caveat (why the oracle path stays NoTimeout): with
+    ProcessingTimeTimeout an AvailableNow drain emits the evictions but does
+    NOT self-terminate — Spark keeps scheduling no-data micro-batches for the
+    stateful operator (observed 40+ empty batches after the last file). A
+    live deployment runs a processingTime trigger with an explicit stop
+    policy; the eviction test polls the sink and stops the query."""
     from ..operators.route import conn_lifecycle_records
 
     text = F.col("text")
@@ -124,11 +164,12 @@ def streaming_conn_sessions(pages: DataFrame) -> DataFrame:
     ).drop("html")
     events = conn_lifecycle_records(parse_lines(kept))
     return events.groupBy("conn_id").applyInPandasWithState(
-        _session_fn,
+        _make_session_fn(timeout_ms),
         outputStructType=_SESSION_OUT,
         stateStructType=_SESSION_STATE,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(GroupStateTimeout.NoTimeout if timeout_ms is None
+                     else GroupStateTimeout.ProcessingTimeTimeout),
     )
 
 

@@ -122,6 +122,78 @@ def test_streaming_windowed_counts_match_batch(spark):
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def test_streaming_session_timeout_eviction(spark):
+    """Live-stream mode: a connection that only ever shows a 'start' must be
+    EVICTED as an 'expired' row once its processing-time timer lapses. Two
+    micro-batches (maxFilesPerTrigger=1): batch 1 arms conn 777's 1 ms timer;
+    batch 2 (unrelated conn 778, which closes normally) runs after the timer
+    expired, so the state store hands 777 to the hasTimedOut branch.
+
+    Measured protocol note: with ProcessingTimeTimeout the AvailableNow drain
+    emits the eviction but never self-terminates (Spark keeps scheduling
+    no-data batches while the stateful operator is registered — observed
+    batch 37..77 with numInputRows=0), so this test polls the sink and stops
+    the query explicitly; that is also why the ORACLE path keeps NoTimeout."""
+    import glob
+    import json
+    import os
+    import time
+    from datetime import datetime
+
+    from mongo_log_parser_spark.streaming import stream_job
+
+    SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
+    base = tempfile.mkdtemp(prefix="mlp-evict-", dir="/root/repo/data")
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+
+    def line(cid, msg, ctx, iso):
+        attr = {"remote": "1.2.3.4:5"}
+        if msg == "Connection accepted":
+            attr["connectionId"] = cid
+        return json.dumps({"t": {"$date": iso}, "s": "I", "c": "NETWORK",
+                           "id": 22943, "ctx": ctx, "msg": msg, "attr": attr})
+
+    ts = datetime(2025, 7, 1)
+
+    def write_file(name, rows):
+        df = spark.createDataFrame(rows, SCHEMA)
+        tmp = os.path.join(base, "w_" + name)
+        df.coalesce(1).write.parquet(tmp)
+        shutil.move(glob.glob(tmp + "/part-*.parquet")[0], os.path.join(src, name))
+
+    write_file("a.parquet", [
+        ("u1", ts, None, line(777, "Connection accepted", "listener",
+                              "2025-07-01T00:00:01.000Z"), "en")])
+    write_file("b.parquet", [
+        ("u2", ts, None, line(778, "Connection accepted", "listener",
+                              "2025-07-01T00:00:01.000Z"), "en"),
+        ("u3", ts, None, line(778, "Connection ended", "conn778",
+                              "2025-07-01T00:00:05.000Z"), "en")])
+
+    stream = stream_job.pages_stream(
+        spark, src, schema=spark.createDataFrame([], SCHEMA).schema, max_files=1)
+    sessions = stream_job.streaming_conn_sessions(stream, timeout_ms=1)
+    ckpt = os.path.join(base, "ckpt")
+    q = (sessions.writeStream.format("memory").queryName("evict_sessions")
+         .outputMode("append").option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    try:
+        got = {}
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            got = {r["conn_id"]: r for r in spark.table("evict_sessions").collect()}
+            if 777 in got and 778 in got:
+                break
+            time.sleep(0.5)
+        assert got[777]["status"] == "expired" and got[777]["lifetime_ms"] is None
+        assert got[777]["start_ts"] is not None and got[777]["end_ts"] is None
+        assert got[778]["status"] == "closed" and got[778]["lifetime_ms"] == 4000
+    finally:
+        q.stop()
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def test_streaming_conn_sessionization(spark):
     from mongo_log_parser_spark.operators import joins, route
     from mongo_log_parser_spark.streaming import stream_job
