@@ -219,6 +219,42 @@ _HTML_SECTIONS = [
 _SAMPLE_COLS = {"sample_line", "sample_metadata_line", "sample_auth_line", "raw_filter",
                 "sanitized_query", "text"}
 
+# Per-shard accordion variants (HtmlReportGenerator.java:1379-1905 renders a
+# per-shard copy of each analysis section; here the rows come from the
+# per_shard_grouped sinks — one shuffle each — and the HTML groups them by
+# shard identity into nested accordions).
+_SHARD_HTML_SECTIONS = [
+    ("shard_main_ops", "Main Operations by Shard"),
+    ("shard_ttl_ops", "TTL Operations by Shard"),
+    ("shard_query_hash", "Query Hash Analysis by Shard"),
+    ("shard_plan_cache", "Plan Cache by Shard"),
+    ("shard_index_stats", "Index Usage by Shard"),
+    ("shard_error_codes", "Error Codes by Shard"),
+    ("shard_transactions", "Transactions by Shard"),
+]
+_SHARD_KEY_COLS = ("shard", "node")
+
+
+def shard_report_rows(sinks: dict[str, DataFrame]) -> dict[str, list[dict]]:
+    """Collect per-shard sink rows for the HTML shard accordions: ordered by
+    shard identity, then the base sink's own sort key (count desc). Same
+    driver-side O(report rows) assembly as json_report — the heavy lifting
+    (the per-shard grouped aggregation) already ran distributed."""
+    out: dict[str, list[dict]] = {}
+    for key, _title in _SHARD_HTML_SECTIONS:
+        if key not in sinks:
+            continue
+        df = sinks[key]
+        ident = [c for c in _SHARD_KEY_COLS if c in df.columns]
+        base = SINK_SORT_KEYS.get(key.removeprefix("shard_"))
+        order = [F.asc(c) for c in ident]
+        if base and base in df.columns:
+            order.append(F.desc(base))
+        rows = [r.asDict(recursive=True) for r in (df.orderBy(*order) if order else df).collect()]
+        if rows:
+            out[key] = rows
+    return out
+
 
 def _esc(v: Any) -> str:
     return (str(v).replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
@@ -239,7 +275,7 @@ def _cell(col: str, v: Any) -> str:
     return f"<td>{_esc(v)}</td>"
 
 
-def html_report(report: dict[str, Any]) -> str:
+def html_report(report: dict[str, Any], shard_rows: dict[str, list[dict]] | None = None) -> str:
     """K4 — single-file HTML render of the JSON report: summary header, nav,
     one section per accordion (<details>, open by default — the reference's
     accordion pattern), click-to-sort column headers (static inline JS, no
@@ -250,7 +286,10 @@ def html_report(report: dict[str, Any]) -> str:
     HtmlReportGenerator.java (no charts/filter boxes); section set, ordering
     (count desc), and the humanize rules match it
     (HtmlReportGenerator.java:42-120 section list; formatDuration/formatBytes
-    per LogRedactionUtil.java:515-620)."""
+    per LogRedactionUtil.java:515-620). When `shard_rows` is given (--shards
+    runs), each per-shard sink renders as an accordion of nested per-shard
+    accordions — the reference's per-shard section variants
+    (HtmlReportGenerator.java:1379-1905) over the per_shard_grouped sinks."""
     parts = [
         "<!DOCTYPE html><html><head><meta charset='utf-8'>",
         "<title>mongo-log-parser-spark report</title>",
@@ -287,6 +326,30 @@ def html_report(report: dict[str, Any]) -> str:
         for r in rows:
             parts.append("<tr>" + "".join(_cell(c, r.get(c)) for c in cols) + "</tr>")
         parts.append("</table></details>")
+    # per-shard accordion variants (reference: HtmlReportGenerator.java:1379-1905)
+    for key, title in _SHARD_HTML_SECTIONS:
+        rows = (shard_rows or {}).get(key)
+        if not rows:
+            continue
+        ident = [c for c in _SHARD_KEY_COLS if c in rows[0]]
+        cols = [c for c in rows[0] if c not in ident]
+        groups: dict[tuple, list[dict]] = {}
+        for r in rows:
+            groups.setdefault(tuple(r.get(c) for c in ident), []).append(r)
+        parts.append(
+            f"<details class='sec' id='{key}'><summary>{_esc(title)} "
+            f"<small>({len(groups)} shards, {len(rows)} rows)</small></summary>")
+        for gkey, grows in groups.items():
+            label = " / ".join(_esc(v) for v in gkey if v is not None) or "(unknown shard)"
+            parts.append(
+                f"<details class='shard'><summary>{label} "
+                f"<small>({len(grows)} rows)</small></summary>")
+            parts.append("<table><tr>" + "".join(
+                f"<th title='click to sort'>{_esc(c)}</th>" for c in cols) + "</tr>")
+            for r in grows:
+                parts.append("<tr>" + "".join(_cell(c, r.get(c)) for c in cols) + "</tr>")
+            parts.append("</table></details>")
+        parts.append("</details>")
     parts.append(_SORT_JS)
     parts.append("</body></html>")
     return "".join(parts)
@@ -296,7 +359,8 @@ def write_html_report(sinks: dict[str, DataFrame], path: str,
                       metadata: dict | None = None,
                       top_sections: int | None = None) -> None:
     with open(path, "w") as f:
-        f.write(html_report(json_report(sinks, metadata, top_sections=top_sections)))
+        f.write(html_report(json_report(sinks, metadata, top_sections=top_sections),
+                            shard_rows=shard_report_rows(sinks)))
 
 
 # ------------------------------------------------------- E18-E20 utilities

@@ -119,24 +119,21 @@ def main() -> None:
 
 
 def _write_md(out: dict) -> None:
+    """Write this shape's section to BENCH/cluster_shape_{C}core.md, then
+    reassemble BENCH/CLUSTER.md from every shape section present — evidence
+    for one executor shape never clobbers another's (round-4 verdict item 7:
+    a second shape shows the PASS is robust to shape, not a lucky min)."""
+    cores = out["cores_per_executor"]
     lines = [
-        "## Multi-executor N vs 4N (real separate executor JVMs)\n",
-        "Literal form of the north-rule criterion: the SAME spark-submit",
-        "--py-files job (scripts/cluster_timed_job.py) on Spark's",
-        "local-cluster master — a standalone master + separate executor JVMs",
-        f"on this machine — at N = 1 executor and 4N = 4 executors",
-        f"({out['cores_per_executor']} core(s) each, so total parallelism stays inside the",
-        "host's measured linear range), same input, sizes interleaved per",
-        "round, per-size min.",
-        "Complements the local[width] table above (which isolates parallel",
-        "efficiency from JVM/cluster overhead); this one carries real",
-        "executor-to-executor shuffle + task dispatch.\n",
+        f"### Shape: executors x {cores} core(s) each\n",
+        f"N = 1 executor x {cores} core(s) vs 4N = 4 executors x {cores} core(s),",
+        "same input, sizes interleaved per round, per-size min.\n",
         "| quantity | value |", "|---|---|",
         f"| input | sf{out['sf']} ({out['pages']} pages) |",
-        f"| throughput @ 1 executor x {out['cores_per_executor']} core(s) | "
+        f"| throughput @ 1 executor x {cores} core(s) | "
         f"{out['throughput_n']} pages/sec "
         f"(min {min(out['times_1x4'])} s over {out['times_1x4']}) |",
-        f"| throughput @ 4 executors x {out['cores_per_executor']} core(s) | "
+        f"| throughput @ 4 executors x {cores} core(s) | "
         f"{out['throughput_4n']} pages/sec "
         f"(min {min(out['times_4x4'])} s over {out['times_4x4']}) |",
         f"| scaling efficiency N→4N | {out['scaling_efficiency']} |",
@@ -144,9 +141,37 @@ def _write_md(out: dict) -> None:
         f"{'PASS' if out['scaling_efficiency'] >= 0.8 else 'FAIL'} |",
         "",
     ]
-    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "CLUSTER.md"), "w") as f:
+    bench_dir = os.path.join(REPO, "BENCH")
+    os.makedirs(bench_dir, exist_ok=True)
+    with open(os.path.join(bench_dir, f"cluster_shape_{cores}core.md"), "w") as f:
         f.write("\n".join(lines))
+    _assemble_cluster_md(bench_dir)
+
+
+def _assemble_cluster_md(bench_dir: str) -> None:
+    header = [
+        "## Multi-executor N vs 4N (real separate executor JVMs)\n",
+        "Literal form of the north-rule criterion: the SAME spark-submit",
+        "--py-files job (scripts/cluster_timed_job.py) on Spark's",
+        "local-cluster master — a standalone master + separate executor JVMs",
+        "on this machine — at N = 1 executor and 4N = 4 executors, same",
+        "input, sizes interleaved per round, per-size MINIMUM over rounds",
+        "(pre-declared estimator; this shared host's co-tenant noise only",
+        "ever slows a run). Narrow executors keep total parallelism inside",
+        "the host's measured linear range. One section per executor SHAPE —",
+        "the gate should be robust to shape, not one lucky configuration.",
+        "Complements the local[width] table above (which isolates parallel",
+        "efficiency from JVM/cluster overhead); this one carries real",
+        "executor-to-executor shuffle + task dispatch. Raw per-round",
+        "orchestrator JSON archived as BENCH/cluster_sf1_*.json.txt.\n",
+    ]
+    sections = []
+    for name in sorted(os.listdir(bench_dir)):
+        if name.startswith("cluster_shape_") and name.endswith(".md"):
+            with open(os.path.join(bench_dir, name)) as f:
+                sections.append(f.read())
+    with open(os.path.join(bench_dir, "CLUSTER.md"), "w") as f:
+        f.write("\n".join(header) + "\n" + "\n".join(sections))
 
 
 if __name__ == "__main__":

@@ -451,6 +451,28 @@ def test_shards_with_ns_filter_consistent(spark, tmp_path):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_html_report_per_shard_sections(spark):
+    """--shards HTML: per-shard sinks render as nested per-shard accordions
+    (reference HtmlReportGenerator.java:1379-1905), rows grouped by the
+    shard/node identity with those columns lifted out of the inner table."""
+    from mongo_log_parser_spark.sinks import writers
+
+    df = spark.createDataFrame(
+        [("sh0", "n1", "db.c", 5, 1200), ("sh0", "n1", "db.d", 2, 90),
+         ("sh1", "n2", "db.c", 3, 7)],
+        "shard string, node string, ns string, count long, avg_ms long")
+    shard_rows = writers.shard_report_rows({"shard_main_ops": df})
+    assert [r["count"] for r in shard_rows["shard_main_ops"][:2]] == [5, 2]  # count desc in-shard
+    html = writers.html_report({"metadata": {}, "summary": {}}, shard_rows=shard_rows)
+    assert "Main Operations by Shard" in html
+    assert "sh0 / n1" in html and "sh1 / n2" in html
+    assert html.count("class='shard'") == 2  # one nested accordion per shard
+    assert "<th title='click to sort'>shard</th>" not in html  # identity lifted out
+    # no shard sinks → no shard markup, report unchanged
+    plain = writers.html_report({"metadata": {}, "summary": {}})
+    assert "class='shard'" not in plain
+
+
 def test_warc_streaming_reader_memory_bound():
     """The gzip record reader must STREAM: peak Python allocations while
     iterating a segment that decompresses to ~256 MiB stay far below the
