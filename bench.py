@@ -35,17 +35,22 @@ the JSON line with `rounds_completed` + `budget_spent_sec`:
 
   1. hardware-envelope probe (round 0) + first headline run
   2. scale round 1, primary pair first: widths 1, 4, then 2, 8
-  3. remaining headline runs (up to $SPARK_GRAFT_HEAD_RUNS, default 3)
-  4. scale rounds 2..$SPARK_GRAFT_BENCH_ROUNDS (default 3), each preceded by
-     its own contemporaneous hw probe (verdict item 5), widths 1, 4, 2, 8
-  5. per-sink stage timings (separate build — indicative costs only)
+  3. scale round 2 (two rounds beat headline repeats: a single-round
+     efficiency number is statistically meaningless on this noisy host —
+     round-4 published a one-round superlinear 1.3 artifact)
+  4. remaining headline runs (up to $SPARK_GRAFT_HEAD_RUNS, default 3)
+  5. scale rounds 3..$SPARK_GRAFT_BENCH_ROUNDS (default 3), each preceded by
+     its own contemporaneous hw probe, widths 1, 4, 2, 8
+  6. per-sink stage timings (separate build — indicative costs only)
 
 Estimators are fixed a priori: per-width MINIMUM across completed rounds
 (co-tenant noise only ever slows a run), headline = min over its runs.
-A width-run whose Spark job dies (e.g. a Python worker killed under host
-memory pressure — the round-3 failure) is retried ONCE; crash ≠ slow, and
-min-of-K already tolerates slow. SIGTERM emits the partial JSON before
-exiting so even a driver-side timeout yields a parsable result.
+ANY run whose Spark job dies (e.g. a Python worker killed under host
+memory pressure — the round-3 failure) is retried ONCE — headline runs
+included (round-4 advice: a step-1 crash must not end the whole evidence
+run); crash ≠ slow, and min-of-K already tolerates slow. SIGTERM emits the
+partial JSON before exiting so even a driver-side timeout yields a parsable
+result.
 
 Prints ONE JSON line; also rewrites BENCH/BASELINE.md.
 """
@@ -235,25 +240,47 @@ def main() -> None:
 
     # Only ONE SparkSession may exist at a time in local mode (getOrCreate
     # would silently hand a live session — with its ORIGINAL master — to the
-    # next step), so the ladder runs strictly sequentially: headline session
-    # first, stopped before any width session starts.
+    # next step), so the ladder runs strictly sequentially: every headline
+    # session is stopped before any width session starts.
 
-    # ---- step 1: headline runs (the judge's bench_vs_baseline number)
     head_times: list[float] = []
     head_cost: float | None = None
-    t_step = time.time()
-    head_sess = _Session(f"local[{cpu_width}]", 16, pages_path)
-    try:
-        head_times.append(run_pipeline(head_sess.spark, pages_path))
-        head_cost = time.time() - t_step
-        _publish_headline(OUT, head_times, n_pages, cpu_width)
-        while len(head_times) < head_runs_max and _fits(head_cost * 0.8):
-            head_times.append(run_pipeline(head_sess.spark, pages_path))
-            _publish_headline(OUT, head_times, n_pages, cpu_width)
-    finally:
-        head_sess.stop()
 
-    # ---- steps 2-4: scale rounds 1..R (primary pair first within each)
+    def headline_block(n_runs: int) -> None:
+        """Run up to n_runs headline measurements in one warmed session;
+        retry ONCE per run on a crashed job (recreating the session)."""
+        nonlocal head_cost
+        sess: _Session | None = None
+        try:
+            for _ in range(n_runs):
+                if head_times and not _fits((head_cost or 60.0) * 0.8):
+                    return
+                for attempt in (0, 1):
+                    t_run = time.time()
+                    try:
+                        if sess is None:
+                            sess = _Session(f"local[{cpu_width}]", 16, pages_path)
+                        sec = run_pipeline(sess.spark, pages_path)
+                    except Exception as e:  # noqa: BLE001 — crash ≠ slow; retry once
+                        OUT.setdefault("crashes", []).append(
+                            {"stage": "headline", "attempt": attempt, "err": str(e)[:300]})
+                        if sess is not None:
+                            sess.stop()
+                            sess = None
+                        continue
+                    head_cost = time.time() - t_run  # includes any session build
+                    head_times.append(sec)
+                    _publish_headline(OUT, head_times, n_pages, cpu_width)
+                    break
+        finally:
+            if sess is not None:
+                sess.stop()
+
+    # ---- step 1: first headline run (the judge's bench_vs_baseline number)
+    headline_block(1)
+
+    # ---- steps 2-3: scale rounds 1-2 (the gate evidence outranks headline
+    # repeats under a tight budget — round-4 verdict item 3)
     times: dict[int, list[float]] = {w: [] for w in WIDTHS}
     width_cost: dict[int, float] = {}
     OUT["times_by_width"] = {}
@@ -275,15 +302,26 @@ def main() -> None:
         OUT["rounds_completed"] += 1
         return True
 
+    def fits_next_round() -> bool:
+        round_est = sum(width_cost.values()) if width_cost else None
+        return _fits(round_est, slack=1.15)
+
     budget_stopped = not scale_round()
+    if not budget_stopped and OUT["rounds_completed"] < min(2, rounds_max):
+        budget_stopped = not fits_next_round() or not scale_round()
+
+    # ---- step 4: remaining headline runs
+    if head_cost is not None and _fits(head_cost * (head_runs_max - len(head_times)) * 0.8):
+        headline_block(head_runs_max - len(head_times))
+
+    # ---- step 5: scale rounds 3..R
     while not budget_stopped and OUT["rounds_completed"] < rounds_max:
-        round_est = sum(width_cost.values())
-        if not _fits(round_est, slack=1.15):
+        if not fits_next_round():
             budget_stopped = True
             break
         budget_stopped = not scale_round()
 
-    # ---- step 5: per-sink stage timings (separate build; indicative only)
+    # ---- step 6: per-sink stage timings (separate build; indicative only)
     timings: dict[str, float] = {}
     if _fits(head_cost * 1.2 if head_cost else None):
         from pyspark.sql import functions as F

@@ -49,13 +49,21 @@ def build_session(
         # JIT-friendly methods) above this limit restores linear scaling.
         .config("spark.sql.codegen.hugeMethodLimit", "8000")
         # Arrow boundary for the pandas UDFs (redact/trim, media metadata).
-        # 5000 rows/batch halves each Python worker's peak resident set vs the
-        # previous 10000 (the parse stage holds ~80 object columns per batch);
-        # round-3's driver bench died with a Python worker crash under 16
-        # concurrent workers on this shared 128 GiB host — almost certainly
-        # host-level memory pressure (BENCH_r03.json tail).
+        # Round-4 halved this to 5000 to stop the round-3 Python-worker crash
+        # and was suspected of the 12->27->59 s parse-stage walk. Measured
+        # (scripts/ab_arrow_batch.py, 2x3 interleaved runs per arm with
+        # matched pure-CPU probes, BENCH/ab_arrow_batch_r5_*.json.txt): on a
+        # quiet host BOTH arms run the sf0.1 parse stage in ~8 s — the walk
+        # was co-tenant noise, not the batch size. Restored to 10000 (the
+        # round-2 configuration) and the crash risk is bounded by ADDRESS
+        # SPACE instead: spark.executor.pyspark.memory sets RLIMIT_AS inside
+        # each worker (verified effective in local mode), so a runaway worker
+        # dies with a catchable MemoryError+traceback (bench retries once)
+        # instead of inviting the host OOM killer. 6g x 16 workers is
+        # virtual, not resident; measured parse peak per batch is ~0.5 GiB.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "5000")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.executor.pyspark.memory", "6g")
         # When a Python worker does die, get a real traceback instead of
         # "exited unexpectedly (crashed)".
         .config("spark.python.worker.faulthandler.enabled", "true")
