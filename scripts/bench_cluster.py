@@ -119,13 +119,18 @@ def main() -> None:
 
 
 def _write_md(out: dict) -> None:
-    """Write this shape's section to BENCH/cluster_shape_{C}core.md, then
-    reassemble BENCH/CLUSTER.md from every shape section present — evidence
-    for one executor shape never clobbers another's (round-4 verdict item 7:
-    a second shape shows the PASS is robust to shape, not a lucky min)."""
+    """Write this run's section to BENCH/cluster_shape_{C}core[_sf{S}].md,
+    then reassemble BENCH/CLUSTER.md from every section present — evidence
+    for one (shape, sf) point never clobbers another's (round-4 verdict
+    item 7: the PASS should be robust to shape, not a lucky min; round-5
+    adds a second SCALE point to test the serial-floor model out of
+    sample)."""
     cores = out["cores_per_executor"]
+    # keep the original filename for the pre-declared sf1.0 gate sections so
+    # their committed evidence files stay stable; suffix other scale points
+    suffix = "" if out["sf"] == 1.0 else f"_sf{out['sf']}"
     lines = [
-        f"### Shape: executors x {cores} core(s) each\n",
+        f"### Shape: executors x {cores} core(s) each — sf{out['sf']}\n",
         f"N = 1 executor x {cores} core(s) vs 4N = 4 executors x {cores} core(s),",
         "same input, sizes interleaved per round, per-size min.\n",
         "| quantity | value |", "|---|---|",
@@ -143,7 +148,7 @@ def _write_md(out: dict) -> None:
     ]
     bench_dir = os.path.join(REPO, "BENCH")
     os.makedirs(bench_dir, exist_ok=True)
-    with open(os.path.join(bench_dir, f"cluster_shape_{cores}core.md"), "w") as f:
+    with open(os.path.join(bench_dir, f"cluster_shape_{cores}core{suffix}.md"), "w") as f:
         f.write("\n".join(lines))
     _assemble_cluster_md(bench_dir)
 
