@@ -367,6 +367,93 @@ def connected_components(pairs: DataFrame, src: str = "id_a", dst: str = "id_b",
     return labels.select("node", F.col("label").alias("rep_id"))
 
 
+def connected_components_star(pairs: DataFrame, src: str = "id_a", dst: str = "id_b",
+                              max_iters: int = 40) -> DataFrame:
+    """Connected components via alternating large-star/small-star contraction
+    (Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14)
+    → (node, rep_id), same contract as `connected_components`.
+
+    Min-label propagation needs one round per unit of component DIAMETER —
+    the right default for dup graphs (near-dup clusters are shallow cliques),
+    but an adversarial chain of D templated documents with gradually drifting
+    text needs D rounds. Star contraction instead HALVES tree heights every
+    alternation, converging in O(log n) rounds regardless of diameter — this
+    is the documented fallback `connected_components` raises toward when it
+    exhausts its round budget.
+
+    Each round is two relational steps over the edge set, both a single
+    groupBy-min + broadcast-free equi-join back on the grouping key:
+
+    - large-star: symmetrize edges, compute m(u) = min(N(u) ∪ {u}), connect
+      every LARGER neighbor v > u directly to m(u);
+    - small-star: orient edges (big → small), compute m(u) = min neighbor,
+      connect u and every smaller neighbor to m(u).
+
+    Both steps preserve connectivity exactly (proof in the paper); the fixed
+    point is a forest of stars whose centers are the component minima, so
+    labels read off as (child → root) ∪ (root → root). Lineage is cut per
+    round with localCheckpoint (eager), as in the propagation variant; the
+    convergence check is an exact set-equality probe (count + one-sided
+    exceptAll limit 1), not a heuristic.
+    """
+    pairs = pairs.select(src, dst).filter(F.col(src) != F.col(dst))
+    nodes = (
+        pairs.select(F.col(src).alias("node"))
+        .unionByName(pairs.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = (sym.groupBy("u").agg(F.min("v").alias("mv"))
+             .select("u", F.least("u", "mv").alias("m")))
+        return (
+            sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        ori = e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        m = ori.groupBy("u").agg(F.min("v").alias("m"))
+        j = ori.join(m, "u")
+        centers = j.select(F.col("u"), F.col("m").alias("v"))
+        leaves = j.filter(F.col("v") != F.col("m")).select(F.col("v").alias("u"),
+                                                           F.col("m").alias("v"))
+        return centers.unionByName(leaves).distinct()
+
+    converged = False
+    n_edges = edges.count()
+    for _ in range(max_iters):
+        new_edges = small_star(large_star(edges)).localCheckpoint(eager=True)
+        n_new = new_edges.count()
+        same = (
+            n_new == n_edges
+            and new_edges.exceptAll(edges).limit(1).count() == 0
+        )
+        edges, n_edges = new_edges, n_new
+        if same:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge in max_iters={max_iters} "
+            "rounds — star contraction needs O(log n) alternations, so hitting "
+            "this on a real graph indicates a bug or a vastly undersized budget")
+    # fixed point: edges = (child, root) stars; roots never appear as children
+    return (
+        nodes.join(edges.select(F.col("u").alias("node"), F.col("v").alias("rep")),
+                   "node", "left")
+        .select("node", F.coalesce("rep", "node").alias("rep_id"))
+    )
+
+
 def neardup_clusters(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                      threshold: float = JACCARD_THRESHOLD) -> DataFrame:
     """Full dedup pipeline: LSH candidates → exact-Jaccard verify → connected

@@ -312,6 +312,48 @@ def test_connected_components_unconverged_raises(spark):
         dedup.connected_components(pairs, max_iters=2)
 
 
+def test_connected_components_star_topologies(spark):
+    """Star contraction must produce the identical (node, rep_id) mapping as
+    min-label propagation on the mixed-topology graph."""
+    from mongo_log_parser_spark.operators import dedup
+
+    edges = [(13, 14), (11, 10), (12, 13), (15, 14), (11, 12),
+             (23, 20), (20, 21), (22, 20), (31, 30)]
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {r["node"]: r["rep_id"]
+           for r in dedup.connected_components_star(pairs).collect()}
+    assert got == {10: 10, 11: 10, 12: 10, 13: 10, 14: 10, 15: 10,
+                   20: 20, 21: 20, 22: 20, 23: 20, 30: 30, 31: 30}
+
+
+def test_connected_components_star_deep_chain(spark):
+    """The adversarial-diameter case the propagation variant raises on: a
+    64-node chain (diameter 63) converges in O(log n) star alternations —
+    well inside a budget of 12 — with the correct single component, and a
+    random graph (fixed seed) yields the same labels as the propagation
+    variant run with a diameter-sized budget."""
+    import random
+
+    from mongo_log_parser_spark.operators import dedup
+
+    chain = [(i, i + 1) for i in range(100, 163)]
+    pairs = spark.createDataFrame(chain, ["id_a", "id_b"])
+    got = {r["node"]: r["rep_id"]
+           for r in dedup.connected_components_star(pairs, max_iters=12).collect()}
+    assert got == {i: 100 for i in range(100, 164)}
+
+    rng = random.Random(7)
+    rand_edges = list({(rng.randrange(0, 60), rng.randrange(0, 60))
+                       for _ in range(45) if True})
+    rand_edges = [(a, b) for a, b in rand_edges if a != b]
+    rp = spark.createDataFrame(rand_edges, ["id_a", "id_b"])
+    star = {r["node"]: r["rep_id"]
+            for r in dedup.connected_components_star(rp).collect()}
+    prop = {r["node"]: r["rep_id"]
+            for r in dedup.connected_components(rp, max_iters=60).collect()}
+    assert star == prop
+
+
 def test_neardup_clusters_consistent_with_pairs(spark):
     """Every verified pair's two endpoints must land in the same cluster,
     keeper = min doc_id of the cluster, sizes sum to the member count."""
