@@ -240,7 +240,7 @@ def q_embedding_clusters(spark, sf_dir):
     the same clustering capstone as dedup_neardup_clusters, over the other
     near-dup family (one generic operator, two pipelines)."""
     edges = similarity.embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"))
-    cc = dedup.connected_components(edges.select("id_a", "id_b"))
+    cc = dedup.cluster_labels(edges.select("id_a", "id_b"))
     sizes = cc.groupBy("rep_id").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (
         cc.join(sizes, "rep_id")

@@ -454,6 +454,22 @@ def connected_components_star(pairs: DataFrame, src: str = "id_a", dst: str = "i
     )
 
 
+def cluster_labels(pairs: DataFrame, src: str = "id_a", dst: str = "id_b",
+                   max_iters: int = 20) -> DataFrame:
+    """Component labels with the production dispatch: min-label propagation
+    first (cheapest per round, converges in O(diameter) — dup graphs are
+    shallow cliques, so 2-4 rounds in practice), falling back to the
+    O(log n)-round star contraction if an adversarially deep chain exhausts
+    the propagation budget. Same (node, rep_id) contract as both variants;
+    the pair set is checkpointed here so the fallback retry re-reads the
+    materialized edges instead of recomputing upstream LSH/verify."""
+    pairs = pairs.select(src, dst).localCheckpoint(eager=True)
+    try:
+        return connected_components(pairs, src, dst, max_iters=max_iters)
+    except RuntimeError:
+        return connected_components_star(pairs, src, dst)
+
+
 def neardup_clusters(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                      threshold: float = JACCARD_THRESHOLD) -> DataFrame:
     """Full dedup pipeline: LSH candidates → exact-Jaccard verify → connected
@@ -464,7 +480,7 @@ def neardup_clusters(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     no near-dup pair are implicitly their own keepers and are not listed
     (at corpus scale the pair-participating set is a small fraction, so this
     output — the only part that needs the iterative CC — stays small)."""
-    edges = connected_components(
+    edges = cluster_labels(
         neardup_pairs(docs, id_col, text_col, threshold).select("id_a", "id_b"))
     sizes = edges.groupBy("rep_id").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (

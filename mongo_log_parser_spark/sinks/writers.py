@@ -197,7 +197,19 @@ _SORT_JS = (
     "var nx=parseFloat(x),ny=parseFloat(y);"
     "if(!isNaN(nx)&&!isNaN(ny))return dir*(nx-ny);"
     "return dir*x.localeCompare(y);});"
-    "rows.forEach(function(r){t.appendChild(r);});});</script>"
+    "rows.forEach(function(r){t.appendChild(r);});});"
+    # per-section filter boxes (HtmlReportGenerator.java:2312-2386 filterTable:
+    # case-insensitive substring match over every cell, non-matching rows
+    # hidden). One static delegated listener, no per-section wiring and no
+    # report data in the script: each .filter input filters the table that
+    # follows it in its section.
+    "document.addEventListener('input',function(e){"
+    "var inp=e.target;if(!inp.classList||!inp.classList.contains('filter'))return;"
+    "var t=inp.parentNode.querySelector('table');if(!t)return;"
+    "var q=inp.value.toLowerCase();"
+    "Array.prototype.slice.call(t.rows,1).forEach(function(r){"
+    "r.style.display=r.textContent.toLowerCase().indexOf(q)>=0?'':'none';});});"
+    "</script>"
 )
 
 _HTML_SECTIONS = [
@@ -278,12 +290,13 @@ def _cell(col: str, v: Any) -> str:
 def html_report(report: dict[str, Any], shard_rows: dict[str, list[dict]] | None = None) -> str:
     """K4 — single-file HTML render of the JSON report: summary header, nav,
     one section per accordion (<details>, open by default — the reference's
-    accordion pattern), click-to-sort column headers (static inline JS, no
-    report data in the script), humanized durations/bytes, collapsible
-    sample log lines.
+    accordion pattern), click-to-sort column headers and per-table filter
+    boxes (substring match over every cell, HtmlReportGenerator.java:2312-2386
+    — both static inline JS, no report data in the script), humanized
+    durations/bytes, collapsible sample log lines.
 
     Deliberately minimal next to the reference's 2798-line
-    HtmlReportGenerator.java (no charts/filter boxes); section set, ordering
+    HtmlReportGenerator.java; section set, ordering
     (count desc), and the humanize rules match it
     (HtmlReportGenerator.java:42-120 section list; formatDuration/formatBytes
     per LogRedactionUtil.java:515-620). When `shard_rows` is given (--shards
@@ -298,6 +311,8 @@ def html_report(report: dict[str, Any], shard_rows: dict[str, list[dict]] | None
         "text-align:left}th{background:#f0f0f0;position:sticky;top:0;cursor:pointer}"
         "tr:nth-child(even)"
         "{background:#fafafa}pre{white-space:pre-wrap;max-width:80em}summary{cursor:pointer}"
+        "input.filter{padding:6px;border:1px solid #b8c4c2;border-radius:4px;"
+        "margin:0.4em 0;width:240px}"
         "details.sec>summary{font-size:1.2em;font-weight:bold;margin:0.8em 0}"
         "nav a{margin-right:1em}</style></head><body>",
         "<h1>MongoDB Log Analysis Report</h1>",
@@ -321,6 +336,7 @@ def html_report(report: dict[str, Any], shard_rows: dict[str, list[dict]] | None
         parts.append(
             f"<details class='sec' open id='{key}'><summary>{_esc(title)} "
             f"<small>({len(rows)} rows{_esc(note)})</small></summary>")
+        parts.append("<input class='filter' type='text' placeholder='Filter rows…'>")
         parts.append("<table><tr>" + "".join(
             f"<th title='click to sort'>{_esc(c)}</th>" for c in cols) + "</tr>")
         for r in rows:
@@ -344,6 +360,7 @@ def html_report(report: dict[str, Any], shard_rows: dict[str, list[dict]] | None
             parts.append(
                 f"<details class='shard'><summary>{label} "
                 f"<small>({len(grows)} rows)</small></summary>")
+            parts.append("<input class='filter' type='text' placeholder='Filter rows…'>")
             parts.append("<table><tr>" + "".join(
                 f"<th title='click to sort'>{_esc(c)}</th>" for c in cols) + "</tr>")
             for r in grows:

@@ -354,6 +354,19 @@ def test_connected_components_star_deep_chain(spark):
     assert star == prop
 
 
+def test_cluster_labels_falls_back_to_star_on_deep_chain(spark):
+    """The production dispatch: a chain whose diameter exceeds the propagation
+    budget must NOT raise — cluster_labels retries via star contraction and
+    returns the correct single component."""
+    from mongo_log_parser_spark.operators import dedup
+
+    chain = [(i, i + 1) for i in range(200, 230)]
+    pairs = spark.createDataFrame(chain, ["id_a", "id_b"])
+    got = {r["node"]: r["rep_id"]
+           for r in dedup.cluster_labels(pairs, max_iters=3).collect()}
+    assert got == {i: 200 for i in range(200, 231)}
+
+
 def test_neardup_clusters_consistent_with_pairs(spark):
     """Every verified pair's two endpoints must land in the same cluster,
     keeper = min doc_id of the cluster, sizes sum to the member count."""

@@ -208,6 +208,9 @@ def test_json_report_and_csv_sinks(spark):
         assert html.count("<details class='sec'") >= 10
         assert "ms</td>" in html or "s</td>" in html
         assert html.count("<script") == 1 and writers._SORT_JS in html
+        # every section carries a filter box (reference filterTable parity),
+        # one per table, none outside a section
+        assert html.count("<input class='filter'") == html.count("<details class='sec'")
         # opt-in truncation disclosed in the rendered section header
         assert "showing top 100 of" in html
         hp = os.path.join(tmp, "report.html")
@@ -467,6 +470,7 @@ def test_html_report_per_shard_sections(spark):
     assert "Main Operations by Shard" in html
     assert "sh0 / n1" in html and "sh1 / n2" in html
     assert html.count("class='shard'") == 2  # one nested accordion per shard
+    assert html.count("<input class='filter'") == 2  # one filter box per shard table
     assert "<th title='click to sort'>shard</th>" not in html  # identity lifted out
     # no shard sinks → no shard markup, report unchanged
     plain = writers.html_report({"metadata": {}, "summary": {}})
