@@ -400,7 +400,9 @@ def _write_md(out: dict, cpu_width: int, timings: dict[str, float]) -> None:
         "cluster here). Budget-bounded protocol: up to "
         f"{out.get('rounds_max')} rounds inside a {out.get('budget_sec', 0):.0f} s wall-clock",
         f"budget; {out.get('rounds_completed')} round(s) completed this run"
-        f" (budget spent: {out.get('budget_spent_sec', 0):.0f} s).",
+        # budget_spent_sec lands in OUT at emit() time, i.e. after this md is
+        # written — compute the elapsed wall clock directly
+        f" (budget spent: {time.time() - T0:.0f} s).",
         "Timed job = stage-checkpointed parse→route→extract plus all sink",
         "aggregates materialized in one action; per-width minimum over the",
         "completed rounds is the estimator (this shared host's co-tenant noise",
