@@ -140,10 +140,18 @@ class _Session:
 
         self.spark = build_session(app_name=f"bench-{master}", master=master,
                                    shuffle_partitions=shuffle_partitions)
-        # warmup: spawn python workers, JIT the hot paths, prime the page cache
-        warm = self.spark.read.parquet(pages_path).limit(20000)
-        wres = pipeline.build(warm, cache=False)
-        _all_sink_counts(self.spark, wres).collect()
+        # warmup: spawn python workers, JIT the hot paths, prime the page cache.
+        # A warmup crash must STOP the live session before propagating —
+        # otherwise the caller's retry path calls build_session again and
+        # getOrCreate silently hands back this session with the ORIGINAL
+        # master, so a later local[1] width run would time 16 cores.
+        try:
+            warm = self.spark.read.parquet(pages_path).limit(20000)
+            wres = pipeline.build(warm, cache=False)
+            _all_sink_counts(self.spark, wres).collect()
+        except BaseException:
+            self.stop()
+            raise
 
     def stop(self):
         try:
@@ -310,8 +318,12 @@ def main() -> None:
     if not budget_stopped and OUT["rounds_completed"] < min(2, rounds_max):
         budget_stopped = not fits_next_round() or not scale_round()
 
-    # ---- step 4: remaining headline runs
-    if head_cost is not None and _fits(head_cost * (head_runs_max - len(head_times)) * 0.8):
+    # ---- step 4: remaining headline runs. head_cost None means BOTH step-1
+    # attempts crashed — the headline must still be retried here (the crash
+    # protocol says a step-1 storm must not cost the whole evidence run), so
+    # fall back to headline_block's own 60 s cost estimate for the budget fit.
+    if len(head_times) < head_runs_max and _fits(
+            (head_cost or 60.0) * (head_runs_max - len(head_times)) * 0.8):
         headline_block(head_runs_max - len(head_times))
 
     # ---- step 5: scale rounds 3..R

@@ -247,7 +247,7 @@ def simhash_multitable_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: 
     one block, so recall there is 1.0; for larger distances each extra table
     adds an independent chance to collide (vs exactly one with the single
     prefix). Exact recall at any radius is measured empirically in
-    tests/test_dedup.py::test_simhash_multitable_recall against all-pairs
+    tests/test_data_ops.py::test_simhash_multitable_recall against all-pairs
     Hamming.
 
     Plan shape: one explode to (table_id, block_key) — n_tables rows per doc —
@@ -396,7 +396,10 @@ def connected_components_star(pairs: DataFrame, src: str = "id_a", dst: str = "i
     convergence check is an exact set-equality probe (count + one-sided
     exceptAll limit 1), not a heuristic.
     """
-    pairs = pairs.select(src, dst).filter(F.col(src) != F.col(dst))
+    pairs = pairs.select(src, dst)
+    # node set BEFORE dropping self-loops: a node whose only pair is (x, x)
+    # must still appear in the output as its own representative — matching
+    # the propagation variant's contract (it symmetrizes without the filter)
     nodes = (
         pairs.select(F.col(src).alias("node"))
         .unionByName(pairs.select(F.col(dst).alias("node")))
@@ -404,7 +407,8 @@ def connected_components_star(pairs: DataFrame, src: str = "id_a", dst: str = "i
         .localCheckpoint(eager=True)
     )
     edges = (
-        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+        pairs.filter(F.col(src) != F.col(dst))
+        .select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
         .localCheckpoint(eager=True)
     )
 

@@ -19,7 +19,7 @@ import json
 import os
 from typing import Any
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 SINK_SORT_KEYS = {
@@ -247,11 +247,14 @@ _SHARD_HTML_SECTIONS = [
 _SHARD_KEY_COLS = ("shard", "node")
 
 
-def shard_report_rows(sinks: dict[str, DataFrame]) -> dict[str, list[dict]]:
+def shard_report_rows(sinks: dict[str, DataFrame],
+                      top: int | None = None) -> dict[str, list[dict]]:
     """Collect per-shard sink rows for the HTML shard accordions: ordered by
     shard identity, then the base sink's own sort key (count desc). Same
     driver-side O(report rows) assembly as json_report — the heavy lifting
-    (the per-shard grouped aggregation) already ran distributed."""
+    (the per-shard grouped aggregation) already ran distributed. `top` is the
+    --top-sections cap applied PER SHARD (a window row_number, evaluated
+    distributed) so the driver collect stays bounded on cluster-sized logs."""
     out: dict[str, list[dict]] = {}
     for key, _title in _SHARD_HTML_SECTIONS:
         if key not in sinks:
@@ -262,6 +265,14 @@ def shard_report_rows(sinks: dict[str, DataFrame]) -> dict[str, list[dict]]:
         order = [F.asc(c) for c in ident]
         if base and base in df.columns:
             order.append(F.desc(base))
+        if top is not None and ident:
+            # --top-sections must bound THIS collect too (shard sinks are
+            # ~n_shards x their base sink): keep the top rows PER SHARD by
+            # the sink's own sort key, distributed, before collecting
+            w = Window.partitionBy(*ident).orderBy(
+                F.desc(base) if base and base in df.columns else F.asc(ident[0]))
+            df = (df.withColumn("_rn", F.row_number().over(w))
+                  .filter(F.col("_rn") <= top).drop("_rn"))
         rows = [r.asDict(recursive=True) for r in (df.orderBy(*order) if order else df).collect()]
         if rows:
             out[key] = rows
@@ -377,7 +388,7 @@ def write_html_report(sinks: dict[str, DataFrame], path: str,
                       top_sections: int | None = None) -> None:
     with open(path, "w") as f:
         f.write(html_report(json_report(sinks, metadata, top_sections=top_sections),
-                            shard_rows=shard_report_rows(sinks)))
+                            shard_rows=shard_report_rows(sinks, top=top_sections)))
 
 
 # ------------------------------------------------------- E18-E20 utilities

@@ -23,6 +23,11 @@ import sys
 import time
 
 
+# Local copies of bench.py's _burn/cpu_probe, kept INTENTIONALLY: this script
+# is a frozen evidence artifact (BENCH/AB_ARROW_BATCH.md cites its exact
+# protocol) and must not change behavior if bench.py's canonical probe evolves.
+# It runs single-shot in the foreground, so bench.py's SIGTERM emitter guard
+# does not apply here.
 def _burn(k):
     s = 0
     for i in range(k):

@@ -354,6 +354,20 @@ def test_connected_components_star_deep_chain(spark):
     assert star == prop
 
 
+def test_connected_components_star_keeps_selfloop_only_nodes(spark):
+    """Contract parity with the propagation variant: a node whose only pair
+    is a self-loop must still appear as its own representative (the star
+    variant derives its node set BEFORE dropping self-loop edges)."""
+    from mongo_log_parser_spark.operators import dedup
+
+    pairs = spark.createDataFrame([(1, 1), (10, 11)], ["id_a", "id_b"])
+    star = {r["node"]: r["rep_id"]
+            for r in dedup.connected_components_star(pairs).collect()}
+    prop = {r["node"]: r["rep_id"]
+            for r in dedup.connected_components(pairs).collect()}
+    assert star == prop == {1: 1, 10: 10, 11: 10}
+
+
 def test_cluster_labels_falls_back_to_star_on_deep_chain(spark):
     """The production dispatch: a chain whose diameter exceeds the propagation
     budget must NOT raise — cluster_labels retries via star contraction and

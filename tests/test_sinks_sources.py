@@ -475,6 +475,11 @@ def test_html_report_per_shard_sections(spark):
     # no shard sinks → no shard markup, report unchanged
     plain = writers.html_report({"metadata": {}, "summary": {}})
     assert "class='shard'" not in plain
+    # --top-sections bounds the shard collect too: top rows PER SHARD by the
+    # sink sort key (sh0 keeps its count-5 row, sh1 its only row)
+    capped = writers.shard_report_rows({"shard_main_ops": df}, top=1)
+    assert [(r["shard"], r["count"]) for r in capped["shard_main_ops"]] == [
+        ("sh0", 5), ("sh1", 3)]
 
 
 def test_warc_streaming_reader_memory_bound():
