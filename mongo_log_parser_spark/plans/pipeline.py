@@ -10,6 +10,13 @@ Stage materialization strategy (measured at sf0.1, local[32]):
             in-memory cache here (InMemoryRelation encode of wide rows was the
             bottleneck), and it is exactly the stage-checkpoint pattern a
             100 TB pipeline uses between parse and aggregate waves.
+  bucketed  like parquet, but the ops checkpoint is written as a parquet
+            table bucketed+sorted by query_hash (sinks/bucketed.py): one
+            repartition at write time, then the whole A4/A5/A5b query-hash
+            family (groupBys + the kv-submap join) runs with zero Exchange
+            because the scan itself carries HashPartitioning(query_hash).
+            The layout a 100 TB deployment would choose when the query-hash
+            analyses dominate the workload.
   memory    .persist(MEMORY_AND_DISK) barriers (kept for comparison).
   none      fully lazy — right for small interactive/correctness queries.
 """
@@ -47,8 +54,17 @@ class PipelineResult:
     streams: dict[str, DataFrame]
     sinks: dict[str, DataFrame] = field(default_factory=dict)
     workdir: str | None = None
+    tables: list[str] = field(default_factory=list)
 
     def unpersist(self) -> None:
+        for name in self.tables:
+            try:
+                from ..sinks import bucketed
+
+                bucketed.drop_bucketed(
+                    next(iter(self.streams.values())).sparkSession, name)
+            except Exception:
+                pass
         for df in self.streams.values():
             try:
                 df.unpersist()
@@ -68,7 +84,8 @@ def build(
 ) -> PipelineResult:
     spark = pages.sparkSession
     streams = route.split_streams(pages, ignore_patterns=ignore_patterns)
-    if cache and materialize == "parquet":
+    tables: list[str] = []
+    if cache and materialize in ("parquet", "bucketed"):
         workdir = workdir or os.path.join(
             datagen.DATA_ROOT, "tmp", f"stage-{uuid.uuid4().hex[:8]}"
         )
@@ -84,9 +101,17 @@ def build(
         if ops_checkpoint:
             ops_path = os.path.join(workdir, "ops")
             ops_df = route.extract_ops(streams["kept"])
-            ops_schema = ops_df.schema
-            ops_df.write.mode("overwrite").parquet(ops_path)
-            streams["ops"] = spark.read.schema(ops_schema).parquet(ops_path)
+            if materialize == "bucketed":
+                from ..sinks import bucketed
+
+                streams["ops"], tname = bucketed.write_bucketed(
+                    ops_df, ops_path, key="query_hash",
+                    n_buckets=int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
+                tables.append(tname)
+            else:
+                ops_schema = ops_df.schema
+                ops_df.write.mode("overwrite").parquet(ops_path)
+                streams["ops"] = spark.read.schema(ops_schema).parquet(ops_path)
         else:
             # lazy dispatch: each ops sink re-runs the JVM when-cascade over
             # the kept checkpoint scan — trades one serial write job for a
@@ -123,7 +148,7 @@ def build(
         "ignored": agg.ignored_stats(streams["ignored"]),
         "ignored_sample": route.ignored_sample(streams["ignored"]),
     }
-    return PipelineResult(streams=streams, sinks=sinks, workdir=workdir)
+    return PipelineResult(streams=streams, sinks=sinks, workdir=workdir, tables=tables)
 
 
 def run_metrics(pages: DataFrame) -> dict[str, int]:

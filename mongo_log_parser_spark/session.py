@@ -71,6 +71,13 @@ def build_session(
         # The reference drops >1 MiB lines; our text payloads stay well under
         # broadcast limits — keep autoBroadcast on for the lookup joins.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Subset-key co-partitioning (SPARK-35703): lets a join whose children
+        # are both hash-partitioned on a PREFIX of the join keys (here: the
+        # query_hash-bucketed ops checkpoint feeding A4's base⋈sub join on
+        # [query_hash, ns, op]) run without re-shuffling either side. Equal
+        # full keys imply equal subset hashes, so this is purely a planner
+        # capability unlock, not a semantics change.
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
