@@ -402,6 +402,12 @@ def _publish_scaling(out: dict, times: dict[int, list[float]], scale_pages: int,
 def _write_md(out: dict, cpu_width: int, timings: dict[str, float]) -> None:
     if os.environ.get("SPARK_GRAFT_BENCH_NO_MD"):
         return  # smoke runs: emit the JSON line but keep the standing BASELINE.md
+    if not out.get("rounds_completed") and os.path.exists("BENCH/BASELINE.md"):
+        # A run that completed zero scale rounds (tiny smoke budget, or a
+        # crash before round 1 finished) carries strictly less evidence than
+        # whatever BASELINE.md is standing — keep the standing file; the JSON
+        # line still records this run in full.
+        return
     os.makedirs("BENCH", exist_ok=True)
     eff_14 = out.get("scaling_efficiency")
     tbw = out.get("times_by_width", {})

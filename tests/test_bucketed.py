@@ -98,6 +98,20 @@ def test_pipeline_bucketed_query_hash_family_no_exchange(spark, pages_001):
                 continue
             plan = _plan(res_b.sinks[sink])
             assert "Exchange" not in plan, f"{sink}: {plan}"
+        # the per-shard variant groups on a SUPERSET [shard, query_hash, ns,
+        # op] — ClusteredDistribution is still satisfied by the scan's
+        # HashPartitioning(query_hash), so the report's per-shard accordion
+        # family rides the same bucketed layout for free (synthetic pages
+        # carry no shard column, so derive one; withColumn keeps the scan's
+        # output partitioning)
+        from pyspark.sql import functions as F
+
+        from mongo_log_parser_spark.operators import aggregates
+
+        ops_sharded = res_b.streams["ops"].withColumn(
+            "shard", F.substring("url", 1, 8))
+        shard_plan = _plan(aggregates.query_hash(ops_sharded, extra_keys=("shard",)))
+        assert "Exchange" not in shard_plan, shard_plan
         for sink in res_b.sinks:
             got = _rows(res_b.sinks[sink], None)
             want = _rows(res_p.sinks[sink], None)
