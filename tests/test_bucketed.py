@@ -12,7 +12,7 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-def _rows(df, keys):
+def _rows(df, _keys=None):
     return sorted([tuple(r) for r in df.collect()],
                   key=lambda t: tuple(str(x) for x in t))
 
