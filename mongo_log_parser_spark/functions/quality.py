@@ -97,6 +97,12 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
     All per-row array math over one scan; deterministic tie-breaks make the
     output exactly reproducible by the DuckDB oracle in the tests.
     """
+    return docs.select(id_col, *repetition_cols(text_col))
+
+
+def repetition_cols(text_col: str = "text") -> list[Column]:
+    """The repetition features as aliased column expressions (see
+    repetition_stats), foldable into a wider one-scan projection."""
     t = F.col(text_col)
     lines = F.split(t, "\n")
     n_lines = F.size(lines)
@@ -104,7 +110,7 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
     lc, dlc = _line_chars(lines), _line_chars(F.array_distinct(lines))
     toks = tokens(text_col)
     n_chars = F.length(F.trim(F.lower(t)))
-    out = [F.col(id_col), n_lines.cast("long").alias("n_lines")]
+    out: list[Column] = [n_lines.cast("long").alias("n_lines")]
     out.append(
         F.when(n_lines > 0, (n_lines - n_dlines) / n_lines)
         .otherwise(F.lit(0.0)).alias("dup_line_frac"))
@@ -119,7 +125,7 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
             ).otherwise(F.lit(0.0)).alias(f"top{n}gram_char_frac"))
         out.append(top["ngram"].alias(f"top{n}gram"))
         out.append(top["count"].alias(f"top{n}gram_n"))
-    return docs.select(*[c if isinstance(c, Column) else F.col(c) for c in out])
+    return out
 
 
 def repetition_pass(max_dup_line_frac: float = 0.30,
@@ -145,6 +151,11 @@ def pii_scrub(docs: DataFrame, id_col: str = "doc_id",
     tokens, with per-kind match counts (counted BEFORE any replacement so
     each count reflects the original text; the replacement chain then
     applies in the fixed order above)."""
+    return docs.select(F.col(id_col), *pii_cols(text_col))
+
+
+def pii_cols(text_col: str = "text") -> list[Column]:
+    """Per-kind PII match counts + the scrubbed text, as aliased columns."""
     counts = [
         F.regexp_count(F.col(text_col), F.lit(pat)).cast("long").alias(f"n_{kind}")
         for kind, pat, _ in PII_PATTERNS
@@ -152,4 +163,4 @@ def pii_scrub(docs: DataFrame, id_col: str = "doc_id",
     scrubbed = F.col(text_col)
     for _, pat, token in PII_PATTERNS:
         scrubbed = F.regexp_replace(scrubbed, pat, token)
-    return docs.select(F.col(id_col), *counts, scrubbed.alias("scrubbed_text"))
+    return [*counts, scrubbed.alias("scrubbed_text")]

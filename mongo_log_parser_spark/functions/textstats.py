@@ -77,11 +77,10 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     ).withColumn("match", F.col("pred_lang") == F.col("label_lang"))
 
 
-def quality_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Quality heuristic: length + punctuation + stopword-ratio features.
-
-    score = 0.4*min(1, chars/500) + 0.3*(1 - punct_ratio) + 0.3*stop_ratio
-    """
+def quality_cols(text_col: str = "text") -> list[Column]:
+    """The quality-feature columns as aliased expressions, so composed
+    pipelines (corpus_job) can fold them into one projection with other
+    per-row stats instead of joining DataFrames on doc_id."""
     t = F.col(text_col)
     n_chars = F.length(t)
     punct = None
@@ -98,14 +97,21 @@ def quality_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
         + 0.3 * (1.0 - punct_ratio)
         + 0.3 * stop_ratio
     )
-    return docs.select(
-        id_col,
+    return [
         n_chars.cast("long").alias("n_chars"),
         F.coalesce(punct, F.lit(0)).cast("long").alias("punct_chars"),
         n_tokens.cast("long").alias("n_tokens"),
         stop_hits.cast("long").alias("stopword_hits"),
         F.round(score, 6).alias("quality_score"),
-    )
+    ]
+
+
+def quality_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Quality heuristic: length + punctuation + stopword-ratio features.
+
+    score = 0.4*min(1, chars/500) + 0.3*(1 - punct_ratio) + 0.3*stop_ratio
+    """
+    return docs.select(id_col, *quality_cols(text_col))
 
 
 def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
