@@ -492,3 +492,86 @@ def neardup_clusters(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
         .select(F.col("node").alias(id_col), "rep_id", "cluster_size",
                 (F.col("node") == F.col("rep_id")).alias("keeper"))
     )
+
+
+# --------------------------------------------- incremental (batch vs corpus)
+
+def cross_lsh_candidates(new_docs: DataFrame, corpus: DataFrame,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         n_minhashes: int = N_MINHASHES,
+                         n_bands: int = LSH_BANDS) -> DataFrame:
+    """Candidate (new_id, corpus_id) pairs sharing any LSH band bucket
+    ACROSS the two sets — the incremental-ingest analog of lsh_candidates.
+
+    A recurring crawl never re-deduplicates the whole corpus: the corpus
+    side of this join is a band index that is computed once per corpus
+    version and stored (write lsh_bands(corpus) to parquet bucketed by
+    band_key); each new batch then bands itself and bucket-equi-joins —
+    O(batch × bands) candidates, never a new × corpus product."""
+    nb = lsh_bands(new_docs, id_col, text_col,
+                   n_minhashes=n_minhashes, n_bands=n_bands).select(
+        F.col(id_col).alias("new_id"), "band_id", "band_key")
+    cb = lsh_bands(corpus, id_col, text_col,
+                   n_minhashes=n_minhashes, n_bands=n_bands).select(
+        F.col(id_col).alias("corpus_id"), "band_id", "band_key")
+    return nb.join(cb, ["band_id", "band_key"]).select("new_id", "corpus_id").distinct()
+
+
+def incremental_neardup_drops(new_docs: DataFrame, corpus: DataFrame,
+                              id_col: str = "doc_id", text_col: str = "text",
+                              threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    """New-batch ids having a VERIFIED (exact shingle Jaccard ≥ threshold)
+    near-duplicate already in the corpus. Same candidate-bounded verify as
+    neardup_pairs: shingle joins only touch candidate pairs."""
+    cand = cross_lsh_candidates(new_docs, corpus, id_col, text_col)
+    sh_n = shingles(new_docs, id_col, text_col)
+    sh_c = shingles(corpus, id_col, text_col)
+    sz_n = sh_n.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_a")) \
+        .withColumnRenamed(id_col, "new_id")
+    sz_c = sh_c.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_b")) \
+        .withColumnRenamed(id_col, "corpus_id")
+    inter = (
+        cand.join(sh_n.select(F.col(id_col).alias("new_id"), "shingle"), "new_id")
+        .join(sh_c.select(F.col(id_col).alias("corpus_id"),
+                          F.col("shingle").alias("shingle_b")), "corpus_id")
+        .filter(F.col("shingle") == F.col("shingle_b"))
+        .groupBy("new_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    verified = (
+        inter.join(sz_n, "new_id").join(sz_c, "corpus_id")
+        .withColumn("jaccard", F.round(
+            F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select(F.col("new_id").alias(id_col)).distinct()
+
+
+def incremental_dedup(new_docs: DataFrame, corpus: DataFrame,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    """Dedup a new ingest batch against an existing (already-deduplicated)
+    corpus: keep a new doc iff it is
+      (1) its batch's exact keeper (min id per md5) AND its hash is not in
+          the corpus (left_anti on the hash — the corpus side of THIS join
+          is just the distinct hash set, a small broadcastable column),
+      (2) not a verified near-dup of any corpus doc, and
+      (3) not a within-batch near-dup non-keeper (cluster representative
+          survives unless itself dropped by (1)/(2)).
+    Returns the kept rows of new_docs (full schema)."""
+    corpus_hashes = corpus.select(F.md5(F.col(text_col)).alias("text_hash")).distinct()
+    batch_keepers = (
+        exact_duplicates(new_docs, id_col, text_col)
+        .join(corpus_hashes, "text_hash", "left_anti")
+        .select(F.col("keeper_id").alias(id_col))
+    )
+    near_corpus = incremental_neardup_drops(new_docs, corpus, id_col, text_col, threshold)
+    batch_nonkeep = (
+        neardup_clusters(new_docs, id_col, text_col, threshold)
+        .filter(~F.col("keeper")).select(id_col)
+    )
+    return (
+        new_docs.join(batch_keepers, id_col, "left_semi")
+        .join(near_corpus, id_col, "left_anti")
+        .join(batch_nonkeep, id_col, "left_anti")
+    )
