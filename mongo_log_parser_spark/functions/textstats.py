@@ -127,3 +127,38 @@ def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
         (F.sum(term) % FINGERPRINT_P).alias("fingerprint"),
         F.count(F.lit(1)).alias("n_tokens"),
     )
+
+
+def unigram_logprob_scores(docs: DataFrame, ref_docs: DataFrame,
+                           id_col: str = "doc_id", text_col: str = "text",
+                           min_count: int = 1) -> DataFrame:
+    """Perplexity-proxy quality scoring (the CCNet-style LM filter with a
+    unigram model standing in for KenLM, which is not in this environment):
+    score each document by its mean token log-probability under an add-one
+    unigram model trained on `ref_docs`.
+
+        p(tok) = (c(tok) + 1) / (N + V + 1),  OOV → 1 / (N + V + 1)
+
+    with N = total reference tokens, V = vocabulary size (after the
+    `min_count` prune). Low avg_logprob = far from the reference
+    distribution (gibberish or OOV-heavy) — the filter dial.
+
+    Scale notes: the vocabulary broadcasts (prune with min_count at
+    crawl scale so the broadcast stays bounded); N/V ride along as a
+    broadcast single-row crossJoin, not a driver collect; the only
+    shuffle is the per-doc aggregate. Docs with zero tokens are absent
+    from the output."""
+    ref = ref_docs.select(F.explode(tokens(text_col)).alias("token")) \
+        .filter(F.col("token") != "")
+    counts = ref.groupBy("token").agg(F.count(F.lit(1)).alias("c")) \
+        .filter(F.col("c") >= min_count)
+    totals = counts.agg(F.sum("c").alias("N"), F.count(F.lit(1)).alias("V"))
+    d = docs.select(id_col, F.explode(tokens(text_col)).alias("token")) \
+        .filter(F.col("token") != "")
+    j = d.join(F.broadcast(counts), "token", "left").crossJoin(F.broadcast(totals))
+    logp = F.log((F.coalesce(F.col("c"), F.lit(0)) + 1) / (F.col("N") + F.col("V") + 1))
+    return j.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_toks"),
+        F.sum(F.when(F.col("c").isNull(), 1).otherwise(0)).cast("long").alias("oov_toks"),
+        F.round(F.avg(logp), 6).alias("avg_logprob"),
+    )
