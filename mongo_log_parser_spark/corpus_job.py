@@ -55,6 +55,14 @@ def build_parser() -> argparse.ArgumentParser:
                     help="replace emails/IPs/phones with typed placeholder tokens")
     ap.add_argument("--skip-neardup", action="store_true",
                     help="exact dedup only (skip MinHash-LSH clustering)")
+    ap.add_argument("--decontam-eval",
+                    help="parquet of benchmark/eval docs (doc_id, text); "
+                         "training docs sharing a word n-gram with it are dropped")
+    ap.add_argument("--decontam-n", type=int, default=13,
+                    help="collision n-gram length (GPT-3 uses 13)")
+    ap.add_argument("--token-budget", type=int, default=None,
+                    help="deterministically subsample the kept corpus to ~this "
+                         "many whitespace tokens (per-language proportional)")
     return ap
 
 
@@ -103,6 +111,17 @@ def run_corpus_job(spark, args) -> dict:
         .write.mode("overwrite").parquet(filtered_path))
     filtered = spark.read.parquet(filtered_path)
 
+    # ---- benchmark decontamination (before dedup: contaminated docs
+    # shouldn't spend dedup work or seed clusters)
+    n_contaminated = 0
+    if args.decontam_eval:
+        from .operators import decontam
+
+        eval_docs = spark.read.parquet(args.decontam_eval)
+        hits = decontam.contamination_hits(filtered, eval_docs, n=args.decontam_n)
+        n_contaminated = hits.count()  # hits table is small (colliders only)
+        filtered = filtered.join(hits.select("doc_id"), "doc_id", "left_anti")
+
     # ---- dedup: exact keepers ∩ near-dup cluster representatives
     exact_keepers = dedup.exact_duplicates(filtered).select(
         F.col("keeper_id").alias("doc_id"))
@@ -120,6 +139,12 @@ def run_corpus_job(spark, args) -> dict:
                    .withColumnRenamed("scrubbed_text", "text")
     else:
         kept = kept.select(*out_cols, "text")
+
+    # ---- data mixing: deterministic subsample to the token budget
+    if args.token_budget is not None:
+        from .operators import mixing
+
+        kept = mixing.sample_to_token_budget(kept, args.token_budget)
 
     corpus_path = os.path.join(args.out, "corpus")
     kept.write.mode("overwrite").partitionBy("lang").parquet(corpus_path)
@@ -144,13 +169,18 @@ def run_corpus_job(spark, args) -> dict:
             "langs": args.langs,
             "scrub_pii": bool(args.scrub_pii),
             "neardup": not args.skip_neardup,
+            "decontam_eval": args.decontam_eval,
+            "decontam_n": args.decontam_n,
+            "token_budget": args.token_budget,
         },
         "stages": {
             "docs_in": cnt["docs_in"],
             "pass_quality": cnt["pass_quality"],
             "pass_repetition": cnt["pass_repetition"],
             "pass_filters": cnt["pass_filters"],
+            "contaminated": n_contaminated,
             "kept_after_dedup": sum(v["n_docs"] for v in by_lang.values()),
+            "total_tokens": sum(v["total_tokens"] for v in by_lang.values()),
         },
         "by_lang": dict(sorted(by_lang.items())),
         "corpus_path": corpus_path,

@@ -93,3 +93,26 @@ def test_lang_restriction(spark, tmp_path):
     card = _run(spark, tmp_path / "en", "--langs", "en", "--skip-neardup")
     assert set(card["by_lang"]) <= {"en"}
     assert card["stages"]["kept_after_dedup"] > 0
+
+
+def test_decontam_and_token_budget(spark, tmp_path, card_and_out):
+    card_base, _ = card_and_out
+    # eval set = 10 real docs → they (or their dups) must vanish from the corpus
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    eval_path = str(tmp_path / "eval")
+    docs.filter(F.col("doc_id") < 10).select("doc_id", "text") \
+        .write.parquet(eval_path)
+    card = _run(spark, tmp_path / "dc", "--scrub-pii",
+                "--decontam-eval", eval_path, "--decontam-n", "8",
+                "--token-budget", "20000")
+    assert card["stages"]["contaminated"] > 0
+    assert card["stages"]["pass_filters"] == card_base["stages"]["pass_filters"]
+    assert (card["stages"]["kept_after_dedup"]
+            < card_base["stages"]["kept_after_dedup"])
+    # budget respected in expectation (hash sampling concentration)
+    assert card["stages"]["total_tokens"] < 2 * 20000
+    # no surviving doc contains an eval 8-gram
+    from mongo_log_parser_spark.operators import decontam
+    corpus = spark.read.parquet(card["corpus_path"])
+    ev = spark.read.parquet(eval_path)
+    assert decontam.contamination_hits(corpus, ev, n=8).count() == 0

@@ -1,0 +1,85 @@
+"""Data-mixing sampler (per-language token-budget subsampling) — DuckDB
+oracle parity on sf0.001, determinism, and budget behavior."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mongo_log_parser_spark.operators import mixing
+from tests.util import assert_df_equals_sql
+
+HASH_U = "(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) / 4294967296.0)"
+
+
+def _sample_sql(budget: int, weights: dict[str, float] | None = None) -> str:
+    if weights is None:
+        rates = f"""
+totals AS (SELECT lang, sum(n_chars) AS total_tokens FROM documents GROUP BY lang),
+g AS (SELECT sum(total_tokens) AS grand FROM totals),
+rates AS (SELECT lang, round(least(1.0, {budget} / grand), 9) AS rate FROM totals, g)"""
+    else:
+        wsum = sum(weights.values())
+        vals = ", ".join(f"('{k}', {v / wsum})" for k, v in sorted(weights.items()))
+        rates = f"""
+totals AS (SELECT lang, sum(n_chars) AS total_tokens FROM documents GROUP BY lang),
+w(lang, weight) AS (VALUES {vals}),
+rates AS (
+  SELECT t.lang, round(least(1.0, coalesce({budget} * w.weight / t.total_tokens, 0.0)), 9) AS rate
+  FROM totals t LEFT JOIN w ON w.lang = t.lang)"""
+    return f"""
+WITH {rates}
+SELECT d.lang, d.doc_id, d.text, d.source, d.n_chars
+FROM documents d JOIN rates r ON r.lang = d.lang
+WHERE {HASH_U} < r.rate
+"""
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+def test_proportional_sample_vs_oracle(docs, duck):
+    got = mixing.sample_to_token_budget(docs, 20_000, tokens_col="n_chars")
+    assert_df_equals_sql(got, duck, _sample_sql(20_000), "mix-prop")
+
+
+def test_weighted_sample_vs_oracle(docs, duck):
+    w = {"en": 3.0, "de": 1.0, "fr": 1.0}
+    got = mixing.sample_to_token_budget(docs, 15_000, lang_weights=w,
+                                        tokens_col="n_chars")
+    assert_df_equals_sql(got, duck, _sample_sql(15_000, w), "mix-weighted")
+    # unweighted languages get rate 0 → absent
+    assert got.filter(~F.col("lang").isin(list(w))).count() == 0
+
+
+def test_sample_deterministic_and_nested(docs):
+    a = {r["doc_id"] for r in mixing.sample_to_token_budget(
+        docs, 20_000, tokens_col="n_chars").collect()}
+    b = {r["doc_id"] for r in mixing.sample_to_token_budget(
+        docs, 20_000, tokens_col="n_chars").collect()}
+    assert a == b
+    # a smaller budget selects a SUBSET (same hash, lower threshold)
+    small = {r["doc_id"] for r in mixing.sample_to_token_budget(
+        docs, 5_000, tokens_col="n_chars").collect()}
+    assert small <= a
+
+
+def test_sample_hits_budget_roughly(docs):
+    budget = 30_000
+    got = mixing.sample_to_token_budget(docs, budget, tokens_col="n_chars")
+    achieved = got.agg(F.sum("n_chars")).collect()[0][0]
+    assert 0.5 * budget < achieved < 1.6 * budget  # hash sampling concentration
+
+
+def test_budget_above_total_keeps_everything(docs):
+    total = docs.agg(F.sum("n_chars")).collect()[0][0]
+    got = mixing.sample_to_token_budget(docs, int(total) + 1, tokens_col="n_chars")
+    assert got.count() == docs.count()
+
+
+def test_rates_table(docs):
+    rates = {r["lang"]: r["rate"] for r in mixing.lang_sampling_rates(
+        docs, 10**9, tokens_col="n_chars").collect()}
+    assert all(v == 1.0 for v in rates.values())
