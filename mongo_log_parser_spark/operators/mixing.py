@@ -18,7 +18,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # md5-prefix → [0,1) unit interval (8 hex chars = 32 bits)
@@ -84,4 +84,39 @@ def sample_to_token_budget(docs: DataFrame, budget_tokens: int,
         docs.join(F.broadcast(rates.select("lang", "rate")), "lang")
         .filter(hash_unit(id_col) < F.col("rate"))
         .drop("rate")
+    )
+
+
+def split_train_val(docs: DataFrame, val_frac: float = 0.01,
+                    id_col: str = "doc_id") -> DataFrame:
+    """Deterministic train/validation assignment: split = 'val' iff the
+    doc's hash-unit value falls below val_frac. Content-free given the id,
+    so the split is stable under reruns, repartitioning, and corpus
+    growth (a doc never migrates between splits). Narrow projection."""
+    return docs.withColumn(
+        "split", F.when(hash_unit(id_col) < F.lit(float(val_frac)),
+                        F.lit("val")).otherwise(F.lit("train")))
+
+
+def pack_sequences(docs: DataFrame, seq_len: int,
+                   id_col: str = "doc_id",
+                   tokens_col: str = "n_tokens") -> DataFrame:
+    """Greedy sequence packing: assign docs (in deterministic id order,
+    per language) to training-sequence bins of ~`seq_len` tokens —
+    bin = floor(exclusive-prefix-sum(tokens) / seq_len), so a bin holds
+    consecutive docs until their combined tokens cross the boundary
+    (docs longer than seq_len take one-plus bins' worth of room; the
+    trainer's tokenizer does the actual truncation).
+
+    Scale note: the running sum is a window over (lang, id) — ONE
+    range-partitioned sort shuffle. At 100 TB you'd pack per partition
+    instead (mapInPandas with a local cursor, no global order guarantee);
+    this global variant is the oracle-exact reference semantics and the
+    default because bin numbering stays deterministic."""
+    w = (Window.partitionBy("lang").orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    prefix = F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
+    return docs.select(
+        id_col, "lang", tokens_col,
+        F.floor(prefix / F.lit(int(seq_len))).cast("long").alias("bin_id"),
     )

@@ -83,3 +83,58 @@ def test_rates_table(docs):
     rates = {r["lang"]: r["rate"] for r in mixing.lang_sampling_rates(
         docs, 10**9, tokens_col="n_chars").collect()}
     assert all(v == 1.0 for v in rates.values())
+
+
+def test_split_train_val_vs_oracle(docs, duck):
+    got = mixing.split_train_val(docs.select("doc_id", "lang"), val_frac=0.05)
+    sql = f"""
+SELECT doc_id, lang,
+       CASE WHEN {HASH_U} < 0.05 THEN 'val' ELSE 'train' END AS split
+FROM documents
+"""
+    assert_df_equals_sql(got, duck, sql, "split")
+    counts = {r["split"]: r["n"] for r in got.groupBy("split")
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts.get("val", 0) > 0 and counts["train"] > counts.get("val", 0)
+
+
+def test_split_stable_under_growth(docs):
+    """A doc never migrates between splits when the corpus grows."""
+    half = docs.filter(F.col("doc_id") < 250)
+    a = dict(mixing.split_train_val(half.select("doc_id", "lang"), 0.05)
+             .select("doc_id", "split").collect())
+    b = dict(mixing.split_train_val(docs.select("doc_id", "lang"), 0.05)
+             .select("doc_id", "split").collect())
+    assert all(b[k] == v for k, v in a.items())
+
+
+def test_pack_sequences_vs_oracle(docs, duck):
+    got = mixing.pack_sequences(docs, 512, tokens_col="n_chars")
+    sql = """
+SELECT doc_id, lang, n_chars,
+       CAST(floor(coalesce(sum(n_chars) OVER (
+           PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512)
+         AS BIGINT) AS bin_id
+FROM documents
+"""
+    assert_df_equals_sql(got, duck, sql, "pack")
+
+
+def test_pack_sequences_bins_are_contiguous_and_bounded(docs):
+    rows = mixing.pack_sequences(docs, 512, tokens_col="n_chars").collect()
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append((r["doc_id"], r["bin_id"], r["n_chars"]))
+    for lang, items in by_lang.items():
+        items.sort()
+        bins = [b for _, b, _ in items]
+        assert bins == sorted(bins)          # monotone in id order
+        assert bins[0] == 0
+        # every bin's first doc starts before the boundary; combined size
+        # of a bin < seq_len + its largest doc
+        tot: dict[int, int] = {}
+        for _, b, n in items:
+            tot[b] = tot.get(b, 0) + n
+        mx = max(n for _, _, n in items)
+        assert all(v < 512 + mx for v in tot.values())
