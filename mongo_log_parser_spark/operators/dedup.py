@@ -553,8 +553,10 @@ def incremental_dedup(new_docs: DataFrame, corpus: DataFrame,
     """Dedup a new ingest batch against an existing (already-deduplicated)
     corpus: keep a new doc iff it is
       (1) its batch's exact keeper (min id per md5) AND its hash is not in
-          the corpus (left_anti on the hash — the corpus side of THIS join
-          is just the distinct hash set, a small broadcastable column),
+          the corpus (left_anti on the hash — one hash-keyed shuffle join;
+          at corpus scale store the distinct hash set as its own table,
+          bucketed by text_hash, so recurring ingests co-locate for free.
+          The BATCH keeper side is the small one and AQE broadcasts it),
       (2) not a verified near-dup of any corpus doc, and
       (3) not a within-batch near-dup non-keeper (cluster representative
           survives unless itself dropped by (1)/(2)).
