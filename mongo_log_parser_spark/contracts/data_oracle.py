@@ -7,7 +7,9 @@ tokenization definitions have a single source of truth.
 
 from __future__ import annotations
 
+from ..functions.quality import EMAIL_RE, IPV4_RE, PHONE_RE
 from ..functions.textstats import EN_STOPWORDS, FINGERPRINT_P, PUNCT_CHARS, STOPWORDS
+from ..functions.urls import SCHEME_HOST_RE
 from ..operators.dedup import JACCARD_THRESHOLD, LSH_BANDS, N_MINHASHES, NGRAM_W, SHINGLE_W
 from ..operators.similarity import HP_MOD, N_HYPERPLANES, N_LISTS, N_PROBE
 from ..sources import datagen
@@ -640,6 +642,241 @@ FROM m
 """
 
 
+# ---------------------------------------------------------------------------
+# Corpus-side operators (quality/urls/decontam/incremental-dedup) — promoted
+# from the round-5 in-test oracles (tests/test_quality_urls.py,
+# tests/test_incremental_dedup.py, tests/test_decontam_unigram.py) to
+# driver-contract rows. The SQL builders live here (single source of truth);
+# the tests import them back.
+
+def repetition_sql(src: str = "documents") -> str:
+    """Gopher §A.1.1 repetition family, recomputed in DuckDB list algebra."""
+    return f"""
+WITH base AS (
+  SELECT doc_id, text,
+         string_split(text, chr(10)) AS lines,
+         string_split_regex(trim(lower(text)), '\\s+') AS toks,
+         length(trim(lower(text))) AS n_chars
+  FROM {src}
+),
+linestats AS (
+  SELECT doc_id,
+         len(lines) AS n_lines,
+         len(lines) - len(list_distinct(lines)) AS dup_lines,
+         list_sum(list_transform(lines, x -> length(x))) AS lc,
+         list_sum(list_transform(list_distinct(lines), x -> length(x))) AS dlc
+  FROM base
+),
+ng2 AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                        i -> toks[i] || ' ' || toks[i+1])) AS g
+  FROM base WHERE len(toks) >= 2
+),
+best2 AS (
+  SELECT doc_id, g, count(*) AS c FROM ng2 GROUP BY doc_id, g
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) = 1
+),
+ng3 AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+  FROM base WHERE len(toks) >= 3
+),
+best3 AS (
+  SELECT doc_id, g, count(*) AS c FROM ng3 GROUP BY doc_id, g
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) = 1
+)
+SELECT b.doc_id,
+       ls.n_lines::BIGINT AS n_lines,
+       CASE WHEN ls.n_lines > 0 THEN ls.dup_lines / ls.n_lines ELSE 0.0 END
+         AS dup_line_frac,
+       CASE WHEN ls.lc > 0 THEN (ls.lc - ls.dlc) / ls.lc ELSE 0.0 END
+         AS dup_line_char_frac,
+       CASE WHEN b.n_chars > 0 AND coalesce(b2.c, 0) > 0
+            THEN b2.c * length(b2.g) / b.n_chars ELSE 0.0 END AS top2gram_char_frac,
+       coalesce(b2.g, '') AS top2gram,
+       coalesce(b2.c, 0)::BIGINT AS top2gram_n,
+       CASE WHEN b.n_chars > 0 AND coalesce(b3.c, 0) > 0
+            THEN b3.c * length(b3.g) / b.n_chars ELSE 0.0 END AS top3gram_char_frac,
+       coalesce(b3.g, '') AS top3gram,
+       coalesce(b3.c, 0)::BIGINT AS top3gram_n
+FROM base b
+JOIN linestats ls USING (doc_id)
+LEFT JOIN best2 b2 USING (doc_id)
+LEFT JOIN best3 b3 USING (doc_id)
+"""
+
+
+def pii_sql(src: str = "documents") -> str:
+    """The pii_scrub chain: count-before-replace, email → IP → phone order."""
+    e, i, p = EMAIL_RE, IPV4_RE, PHONE_RE
+    return f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{e}')) ::BIGINT AS n_email,
+       len(regexp_extract_all(text, '{i}')) ::BIGINT AS n_ip,
+       len(regexp_extract_all(text, '{p}')) ::BIGINT AS n_phone,
+       regexp_replace(regexp_replace(regexp_replace(text,
+         '{e}', '<EMAIL>', 'g'), '{i}', '<IP>', 'g'), '{p}', '<PHONE>', 'g')
+         AS scrubbed_text
+FROM {src}
+"""
+
+
+def norm_url_sql(col: str) -> str:
+    """The normalize_url chain in DuckDB syntax (same regexes, same order)."""
+    u = col
+    u = f"regexp_replace({u}, '#.*$', '', 'g')"
+    u = f"regexp_replace({u}, 'utm_[^&#]*&', '', 'g')"
+    u = f"regexp_replace({u}, '[?&]utm_[^&#]*$', '', 'g')"
+    u = f"regexp_replace({u}, '\\?$', '', 'g')"
+    u = f"regexp_replace({u}, '^(http://[^/:?#]+):80([/?#].*)?$', '\\1\\2', 'g')"
+    u = f"regexp_replace({u}, '^(https://[^/:?#]+):443([/?#].*)?$', '\\1\\2', 'g')"
+    u = f"regexp_replace({u}, '^([A-Za-z]+://)www\\.', '\\1', 'g')"
+    u = f"regexp_replace({u}, '/\\?', '?', 'g')"
+    u = f"regexp_replace({u}, '/$', '', 'g')"
+    head = f"regexp_extract({u}, '{SCHEME_HOST_RE}', 1)"
+    return f"(lower({head}) || substr({u}, length({head}) + 1))"
+
+
+def url_parts_sql(src: str, extra_cols: str = "") -> str:
+    nu = norm_url_sql("url")
+    host = (f"regexp_replace(regexp_extract({nu}, "
+            f"'^[a-z][a-z0-9+.\\-]*://([^/?#]+)', 1), ':[0-9]+$', '', 'g')")
+    return f"""
+SELECT url, {nu} AS norm_url, {host} AS host,
+       regexp_extract({host}, '([^.]+\\.[^.]+)$', 1) AS domain,
+       regexp_extract({host}, '\\.([^.]+)$', 1) AS tld,
+       regexp_extract({nu}, '^[a-z][a-z0-9+.\\-]*://[^/?#]+([^?#]*)', 1) AS path
+       {extra_cols}
+FROM {src}
+"""
+
+
+def q_url_parts(sf: float) -> str:
+    p = datagen.pages_glob(sf)
+    return url_parts_sql(f"(SELECT url FROM read_parquet('{p}'))")
+
+
+def q_url_domain_stats(sf: float) -> str:
+    p = datagen.pages_glob(sf)
+    src = f"(SELECT url, lang FROM read_parquet('{p}'))"
+    return f"""
+WITH p AS ({url_parts_sql(src, extra_cols=', lang')})
+SELECT domain, count(*) AS n_pages,
+       count(DISTINCT host) AS n_hosts,
+       count(DISTINCT lang) AS n_langs
+FROM p GROUP BY domain
+"""
+
+
+def q_url_dedup_latest(sf: float) -> str:
+    p = datagen.pages_glob(sf)
+    src = f"(SELECT url, warc_ts FROM read_parquet('{p}'))"
+    return f"""
+WITH p AS ({url_parts_sql(src, extra_cols=', warc_ts')}),
+r AS (
+  SELECT norm_url, url,
+         row_number() OVER (PARTITION BY norm_url ORDER BY warc_ts DESC, url DESC) AS rn,
+         count(*) OVER (PARTITION BY norm_url) AS n
+  FROM p)
+SELECT norm_url, url AS kept_url, n AS n_versions FROM r WHERE rn = 1
+"""
+
+
+def _inc_band_cte(tbl: str, pfx: str) -> str:
+    """shingle → minhash → bands chain for one table (same constants the
+    Spark operators import)."""
+    mins = ", ".join(
+        f"min(md5('{j}:' || shingle)) AS h{j}" for j in range(N_MINHASHES))
+    r = N_MINHASHES // LSH_BANDS
+    bands = "\nUNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, "
+        f"md5({' || '.join(f'h{b * r + i}' for i in range(r))}) AS band_key "
+        f"FROM {pfx}mh"
+        for b in range(LSH_BANDS))
+    return f"""
+{pfx}toks AS (SELECT doc_id, {TOKENS} AS t FROM {tbl}),
+{pfx}sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM {pfx}toks CROSS JOIN LATERAL unnest(generate_series(1, len(t) - {SHINGLE_W - 1})) AS g(i)
+  WHERE len(t) >= {SHINGLE_W}),
+{pfx}mh AS (SELECT doc_id, {mins} FROM {pfx}sh GROUP BY doc_id),
+{pfx}bands AS ({bands})"""
+
+
+def cross_candidates_sql(new_tbl: str, corpus_tbl: str) -> str:
+    return f"""
+WITH {_inc_band_cte(new_tbl, 'n')}, {_inc_band_cte(corpus_tbl, 'c')}
+SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+FROM nbands a JOIN cbands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+"""
+
+
+def incremental_drops_sql(new_tbl: str, corpus_tbl: str) -> str:
+    return f"""
+WITH {_inc_band_cte(new_tbl, 'n')}, {_inc_band_cte(corpus_tbl, 'c')},
+cand AS (
+  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+  FROM nbands a JOIN cbands b ON a.band_id = b.band_id AND a.band_key = b.band_key),
+szn AS (SELECT doc_id, count(*) AS n_a FROM nsh GROUP BY doc_id),
+szc AS (SELECT doc_id, count(*) AS n_b FROM csh GROUP BY doc_id),
+inter AS (
+  SELECT c.new_id, c.corpus_id, count(*) AS inter
+  FROM cand c
+  JOIN nsh sa ON sa.doc_id = c.new_id
+  JOIN csh sb ON sb.doc_id = c.corpus_id AND sb.shingle = sa.shingle
+  GROUP BY c.new_id, c.corpus_id)
+SELECT DISTINCT i.new_id AS doc_id
+FROM inter i JOIN szn ON szn.doc_id = i.new_id JOIN szc ON szc.doc_id = i.corpus_id
+WHERE round(CAST(i.inter AS DOUBLE) / (szn.n_a + szc.n_b - i.inter), 6) >= {JACCARD_THRESHOLD}
+"""
+
+
+def _ngram_cte(tbl: str, pfx: str, n: int) -> str:
+    gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
+    return f"""
+{pfx}toks AS (SELECT doc_id, {TOKENS} AS t FROM {tbl}),
+{pfx}ng AS (
+  SELECT DISTINCT doc_id, {gram} AS ngram
+  FROM {pfx}toks CROSS JOIN LATERAL unnest(generate_series(1, len(t) - {n - 1})) AS g(i)
+  WHERE len(t) >= {n})"""
+
+
+def contamination_sql(docs_tbl: str, eval_tbl: str, n: int) -> str:
+    return f"""
+WITH {_ngram_cte(docs_tbl, 'd', n)}, {_ngram_cte(eval_tbl, 'e', n)},
+ev AS (SELECT DISTINCT ngram FROM eng)
+SELECT doc_id, count(*) AS n_hits, min(ngram) AS first_hit
+FROM dng JOIN ev USING (ngram)
+GROUP BY doc_id
+"""
+
+
+def unigram_sql(docs_tbl: str, ref_tbl: str, min_count: int = 1) -> str:
+    return f"""
+WITH ref AS (SELECT unnest({TOKENS}) AS token FROM {ref_tbl}),
+counts AS (SELECT token, count(*) AS c FROM ref WHERE token <> ''
+           GROUP BY token HAVING count(*) >= {min_count}),
+tot AS (SELECT sum(c) AS N, count(*) AS V FROM counts),
+d AS (SELECT doc_id, unnest({TOKENS}) AS token FROM {docs_tbl}),
+j AS (SELECT doc_id, c FROM (SELECT * FROM d WHERE token <> '') dd
+      LEFT JOIN counts USING (token))
+SELECT doc_id, count(*) AS n_toks,
+       sum(CASE WHEN c IS NULL THEN 1 ELSE 0 END)::BIGINT AS oov_toks,
+       round(avg(ln((coalesce(c, 0) + 1) / (N + V + 1))), 6) AS avg_logprob
+FROM j, tot GROUP BY doc_id
+"""
+
+
+# Deterministic, sf-independent splits for the two-input contract rows
+# (mirrored exactly in data_queries.py):
+INC_CORPUS = "(SELECT * FROM documents WHERE doc_id % 2 = 0)"
+INC_NEW = "(SELECT * FROM documents WHERE doc_id % 2 = 1)"
+DECONTAM_EVAL = "(SELECT doc_id, text FROM documents WHERE doc_id < 20)"
+DECONTAM_N = 8
+UNIGRAM_REF = "(SELECT * FROM documents WHERE doc_id % 5 = 0)"
+UNIGRAM_MIN_COUNT = 2
+
+
 def oracles(sf: float = 0.01) -> dict[str, str]:
     return {
         "rel_pricing_summary": q_pricing_summary(),
@@ -676,4 +913,12 @@ def oracles(sf: float = 0.01) -> dict[str, str]:
         "text_top_tokens": q_top_tokens(),
         "media_meta": q_media_meta(sf),
         "media_decode": q_media_decode(sf),
+        "text_repetition_stats": repetition_sql("documents"),
+        "text_pii_scrub": pii_sql("documents"),
+        "url_parts": q_url_parts(sf),
+        "url_domain_stats": q_url_domain_stats(sf),
+        "url_dedup_latest": q_url_dedup_latest(sf),
+        "dedup_incremental_drops": incremental_drops_sql(INC_NEW, INC_CORPUS),
+        "text_decontam_hits": contamination_sql("documents", DECONTAM_EVAL, DECONTAM_N),
+        "text_unigram_scores": unigram_sql("documents", UNIGRAM_REF, UNIGRAM_MIN_COUNT),
     }

@@ -11,8 +11,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions import media, textstats
-from ..operators import dedup, similarity
+from ..functions import media, quality, textstats, urls
+from ..operators import decontam, dedup, similarity
 from ..sources import datagen
 from .log_queries import sf_from_dir
 
@@ -294,6 +294,70 @@ def q_top_tokens(spark, sf_dir, k: int = 100):
     )
 
 
+# ------------------------------------------------- corpus quality & URLs
+
+def q_repetition_stats(spark, sf_dir):
+    """Gopher §A.1.1 repetition features per document — zero-shuffle
+    sorted-array run-length fold (plan-pinned in tests/test_quality_urls.py)."""
+    return quality.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII scrubbing (email → IP → phone regexp_replace chain) with
+    per-kind counts taken before replacement. Pure JVM regex projection."""
+    return quality.pii_scrub(_t(spark, sf_dir, "documents"))
+
+
+def q_url_parts(spark, sf_dir):
+    """URL canonicalization + host/domain/tld/path parsing over the pages
+    table — a narrow regexp projection fused with the scan."""
+    pages = spark.read.parquet(datagen.ensure_pages(sf_from_dir(sf_dir)))
+    return urls.url_parts(pages.select("url"))
+
+
+def q_url_domain_stats(spark, sf_dir):
+    """Per-registrable-domain crawl rollup (pages, distinct hosts/langs) —
+    one hash aggregate with map-side partials absorbing head-domain skew."""
+    pages = spark.read.parquet(datagen.ensure_pages(sf_from_dir(sf_dir)))
+    return urls.domain_stats(pages.select("url", "lang"))
+
+
+def q_url_dedup_latest(spark, sf_dir):
+    """Recrawl collapse: latest capture per normalized URL via max(struct)
+    argmax — one shuffle, no window/sort."""
+    pages = spark.read.parquet(datagen.ensure_pages(sf_from_dir(sf_dir)))
+    return urls.url_dedup_latest(pages.select("url", "warc_ts"))
+
+
+def q_incremental_drops(spark, sf_dir):
+    """Incremental ingest dedup: new-batch docs that verify as near-dups of
+    the existing corpus (cross-set LSH candidates + exact Jaccard verify).
+    Deterministic doc_id-parity split mirrored in the oracle
+    (data_oracle.INC_NEW / INC_CORPUS)."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    return dedup.incremental_neardup_drops(new, corpus)
+
+
+def q_decontam_hits(spark, sf_dir):
+    """Benchmark decontamination: training docs sharing an 8-gram with the
+    eval set (eval n-gram set broadcast; plan-pinned). Eval slice = doc_id
+    < 20, mirrored in data_oracle.DECONTAM_EVAL."""
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") < 20).select("doc_id", "text")
+    return decontam.contamination_hits(docs, ev, n=8)
+
+
+def q_unigram_scores(spark, sf_dir):
+    """Unigram-LM perplexity-proxy quality scores (add-one smoothing, OOV
+    counts) against a doc_id%5==0 reference slice — vocabulary broadcast,
+    corpus never shuffles. Mirrored in data_oracle.UNIGRAM_REF."""
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 5 == 0)
+    return textstats.unigram_logprob_scores(docs, ref, min_count=2)
+
+
 # -------------------------------------------------------------- multimodal
 
 def q_media_meta(spark, sf_dir):
@@ -358,4 +422,12 @@ DATA_QUERIES = {
     "text_top_tokens": q_top_tokens,
     "media_meta": q_media_meta,
     "media_decode": q_media_decode,
+    "text_repetition_stats": q_repetition_stats,
+    "text_pii_scrub": q_pii_scrub,
+    "url_parts": q_url_parts,
+    "url_domain_stats": q_url_domain_stats,
+    "url_dedup_latest": q_url_dedup_latest,
+    "dedup_incremental_drops": q_incremental_drops,
+    "text_decontam_hits": q_decontam_hits,
+    "text_unigram_scores": q_unigram_scores,
 }

@@ -8,48 +8,15 @@ import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
+from mongo_log_parser_spark.contracts.data_oracle import (
+    contamination_sql as _hits_sql,
+    unigram_sql as _unigram_sql,
+)
 from mongo_log_parser_spark.functions import textstats
 from mongo_log_parser_spark.operators import decontam
 from tests.util import assert_df_equals_sql
 
-TOKENS = r"regexp_split_to_array(trim(lower(text)), '\s+')"
 DOCS = "read_parquet('/root/testdata/sf0.001/documents.parquet')"
-
-
-def _ngram_cte(tbl: str, pfx: str, n: int) -> str:
-    gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
-    return f"""
-{pfx}toks AS (SELECT doc_id, {TOKENS} AS t FROM {tbl}),
-{pfx}ng AS (
-  SELECT DISTINCT doc_id, {gram} AS ngram
-  FROM {pfx}toks CROSS JOIN LATERAL unnest(generate_series(1, len(t) - {n - 1})) AS g(i)
-  WHERE len(t) >= {n})"""
-
-
-def _hits_sql(docs_tbl: str, eval_tbl: str, n: int) -> str:
-    return f"""
-WITH {_ngram_cte(docs_tbl, 'd', n)}, {_ngram_cte(eval_tbl, 'e', n)},
-ev AS (SELECT DISTINCT ngram FROM eng)
-SELECT doc_id, count(*) AS n_hits, min(ngram) AS first_hit
-FROM dng JOIN ev USING (ngram)
-GROUP BY doc_id
-"""
-
-
-def _unigram_sql(docs_tbl: str, ref_tbl: str, min_count: int = 1) -> str:
-    return f"""
-WITH ref AS (SELECT unnest({TOKENS}) AS token FROM {ref_tbl}),
-counts AS (SELECT token, count(*) AS c FROM ref WHERE token <> ''
-           GROUP BY token HAVING count(*) >= {min_count}),
-tot AS (SELECT sum(c) AS N, count(*) AS V FROM counts),
-d AS (SELECT doc_id, unnest({TOKENS}) AS token FROM {docs_tbl}),
-j AS (SELECT doc_id, c FROM (SELECT * FROM d WHERE token <> '') dd
-      LEFT JOIN counts USING (token))
-SELECT doc_id, count(*) AS n_toks,
-       sum(CASE WHEN c IS NULL THEN 1 ELSE 0 END)::BIGINT AS oov_toks,
-       round(avg(ln((coalesce(c, 0) + 1) / (N + V + 1))), 6) AS avg_logprob
-FROM j, tot GROUP BY doc_id
-"""
 
 
 TRAIN = [

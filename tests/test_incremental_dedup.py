@@ -10,62 +10,12 @@ import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
-from mongo_log_parser_spark.operators import dedup
-from mongo_log_parser_spark.operators.dedup import (
-    JACCARD_THRESHOLD, LSH_BANDS, N_MINHASHES, SHINGLE_W,
+from mongo_log_parser_spark.contracts.data_oracle import (
+    cross_candidates_sql as _cand_sql,
+    incremental_drops_sql as _drops_sql,
 )
+from mongo_log_parser_spark.operators import dedup
 from tests.util import assert_df_equals_sql
-
-TOKENS = r"regexp_split_to_array(trim(lower(text)), '\s+')"
-
-
-def _band_cte(tbl: str, pfx: str) -> str:
-    """shingle → minhash → bands chain for one table (mirrors
-    contracts/data_oracle.py with the table name parameterized)."""
-    mins = ", ".join(
-        f"min(md5('{j}:' || shingle)) AS h{j}" for j in range(N_MINHASHES))
-    r = N_MINHASHES // LSH_BANDS
-    bands = "\nUNION ALL ".join(
-        f"SELECT doc_id, {b} AS band_id, "
-        f"md5({' || '.join(f'h{b * r + i}' for i in range(r))}) AS band_key "
-        f"FROM {pfx}mh"
-        for b in range(LSH_BANDS))
-    return f"""
-{pfx}toks AS (SELECT doc_id, {TOKENS} AS t FROM {tbl}),
-{pfx}sh AS (
-  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
-  FROM {pfx}toks CROSS JOIN LATERAL unnest(generate_series(1, len(t) - {SHINGLE_W - 1})) AS g(i)
-  WHERE len(t) >= {SHINGLE_W}),
-{pfx}mh AS (SELECT doc_id, {mins} FROM {pfx}sh GROUP BY doc_id),
-{pfx}bands AS ({bands})"""
-
-
-def _cand_sql(new_tbl: str, corpus_tbl: str) -> str:
-    return f"""
-WITH {_band_cte(new_tbl, 'n')}, {_band_cte(corpus_tbl, 'c')}
-SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
-FROM nbands a JOIN cbands b ON a.band_id = b.band_id AND a.band_key = b.band_key
-"""
-
-
-def _drops_sql(new_tbl: str, corpus_tbl: str) -> str:
-    return f"""
-WITH {_band_cte(new_tbl, 'n')}, {_band_cte(corpus_tbl, 'c')},
-cand AS (
-  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
-  FROM nbands a JOIN cbands b ON a.band_id = b.band_id AND a.band_key = b.band_key),
-szn AS (SELECT doc_id, count(*) AS n_a FROM nsh GROUP BY doc_id),
-szc AS (SELECT doc_id, count(*) AS n_b FROM csh GROUP BY doc_id),
-inter AS (
-  SELECT c.new_id, c.corpus_id, count(*) AS inter
-  FROM cand c
-  JOIN nsh sa ON sa.doc_id = c.new_id
-  JOIN csh sb ON sb.doc_id = c.corpus_id AND sb.shingle = sa.shingle
-  GROUP BY c.new_id, c.corpus_id)
-SELECT DISTINCT i.new_id AS doc_id
-FROM inter i JOIN szn ON szn.doc_id = i.new_id JOIN szc ON szc.doc_id = i.corpus_id
-WHERE round(CAST(i.inter AS DOUBLE) / (szn.n_a + szc.n_b - i.inter), 6) >= {JACCARD_THRESHOLD}
-"""
 
 
 # corpus: 3 docs; batch: exact dup of corpus (100), near-dup of corpus (101),

@@ -1,8 +1,10 @@
 """Gopher-style repetition filters, PII scrubbing, and URL operators —
 each checked against a hand-written DuckDB oracle (the house evidence
 standard), on crafted edge-case corpora AND the driver-generated sf0.001
-tables. These operators are staged for contract promotion at the next
-round's first commit (contract frozen this round at 59)."""
+tables. Promoted to driver-contract rows (text_repetition_stats,
+text_pii_scrub, url_parts, url_domain_stats, url_dedup_latest); the oracle
+SQL builders live in contracts/data_oracle.py and are imported here so both
+evidence channels share one source of truth."""
 
 from __future__ import annotations
 
@@ -10,111 +12,15 @@ import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
+from mongo_log_parser_spark.contracts.data_oracle import (
+    pii_sql as _pii_sql,
+    repetition_sql as _repetition_sql,
+    url_parts_sql as _parts_sql,
+)
 from mongo_log_parser_spark.functions import quality, urls
 from tests.util import assert_df_equals_sql
 
 DOCS = "read_parquet('/root/testdata/sf0.001/documents.parquet')"
-
-
-# --------------------------------------------------------------- oracles
-
-def _repetition_sql(src: str) -> str:
-    return f"""
-WITH base AS (
-  SELECT doc_id, text,
-         string_split(text, chr(10)) AS lines,
-         string_split_regex(trim(lower(text)), '\\s+') AS toks,
-         length(trim(lower(text))) AS n_chars
-  FROM {src}
-),
-linestats AS (
-  SELECT doc_id,
-         len(lines) AS n_lines,
-         len(lines) - len(list_distinct(lines)) AS dup_lines,
-         list_sum(list_transform(lines, x -> length(x))) AS lc,
-         list_sum(list_transform(list_distinct(lines), x -> length(x))) AS dlc
-  FROM base
-),
-ng2 AS (
-  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
-                        i -> toks[i] || ' ' || toks[i+1])) AS g
-  FROM base WHERE len(toks) >= 2
-),
-best2 AS (
-  SELECT doc_id, g, count(*) AS c FROM ng2 GROUP BY doc_id, g
-  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) = 1
-),
-ng3 AS (
-  SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
-                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
-  FROM base WHERE len(toks) >= 3
-),
-best3 AS (
-  SELECT doc_id, g, count(*) AS c FROM ng3 GROUP BY doc_id, g
-  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) = 1
-)
-SELECT b.doc_id,
-       ls.n_lines::BIGINT AS n_lines,
-       CASE WHEN ls.n_lines > 0 THEN ls.dup_lines / ls.n_lines ELSE 0.0 END
-         AS dup_line_frac,
-       CASE WHEN ls.lc > 0 THEN (ls.lc - ls.dlc) / ls.lc ELSE 0.0 END
-         AS dup_line_char_frac,
-       CASE WHEN b.n_chars > 0 AND coalesce(b2.c, 0) > 0
-            THEN b2.c * length(b2.g) / b.n_chars ELSE 0.0 END AS top2gram_char_frac,
-       coalesce(b2.g, '') AS top2gram,
-       coalesce(b2.c, 0)::BIGINT AS top2gram_n,
-       CASE WHEN b.n_chars > 0 AND coalesce(b3.c, 0) > 0
-            THEN b3.c * length(b3.g) / b.n_chars ELSE 0.0 END AS top3gram_char_frac,
-       coalesce(b3.g, '') AS top3gram,
-       coalesce(b3.c, 0)::BIGINT AS top3gram_n
-FROM base b
-JOIN linestats ls USING (doc_id)
-LEFT JOIN best2 b2 USING (doc_id)
-LEFT JOIN best3 b3 USING (doc_id)
-"""
-
-
-def _pii_sql(src: str) -> str:
-    e, i, p = (quality.EMAIL_RE, quality.IPV4_RE, quality.PHONE_RE)
-    return f"""
-SELECT doc_id,
-       len(regexp_extract_all(text, '{e}')) ::BIGINT AS n_email,
-       len(regexp_extract_all(text, '{i}')) ::BIGINT AS n_ip,
-       len(regexp_extract_all(text, '{p}')) ::BIGINT AS n_phone,
-       regexp_replace(regexp_replace(regexp_replace(text,
-         '{e}', '<EMAIL>', 'g'), '{i}', '<IP>', 'g'), '{p}', '<PHONE>', 'g')
-         AS scrubbed_text
-FROM {src}
-"""
-
-
-def _norm_sql(col: str) -> str:
-    """The normalize_url chain in DuckDB syntax (same regexes, same order)."""
-    u = col
-    u = f"regexp_replace({u}, '#.*$', '', 'g')"
-    u = f"regexp_replace({u}, 'utm_[^&#]*&', '', 'g')"
-    u = f"regexp_replace({u}, '[?&]utm_[^&#]*$', '', 'g')"
-    u = f"regexp_replace({u}, '\\?$', '', 'g')"
-    u = f"regexp_replace({u}, '^(http://[^/:?#]+):80([/?#].*)?$', '\\1\\2', 'g')"
-    u = f"regexp_replace({u}, '^(https://[^/:?#]+):443([/?#].*)?$', '\\1\\2', 'g')"
-    u = f"regexp_replace({u}, '^([A-Za-z]+://)www\\.', '\\1', 'g')"
-    u = f"regexp_replace({u}, '/\\?', '?', 'g')"
-    u = f"regexp_replace({u}, '/$', '', 'g')"
-    head = f"regexp_extract({u}, '{urls.SCHEME_HOST_RE}', 1)"
-    return f"(lower({head}) || substr({u}, length({head}) + 1))"
-
-
-def _parts_sql(src: str, extra_cols: str = "") -> str:
-    nu = _norm_sql("url")
-    host = f"regexp_replace(regexp_extract({nu}, '^[a-z][a-z0-9+.\\-]*://([^/?#]+)', 1), ':[0-9]+$', '', 'g')"
-    return f"""
-SELECT url, {nu} AS norm_url, {host} AS host,
-       regexp_extract({host}, '([^.]+\\.[^.]+)$', 1) AS domain,
-       regexp_extract({host}, '\\.([^.]+)$', 1) AS tld,
-       regexp_extract({nu}, '^[a-z][a-z0-9+.\\-]*://[^/?#]+([^?#]*)', 1) AS path
-       {extra_cols}
-FROM {src}
-"""
 
 
 # --------------------------------------------------------- crafted corpus
