@@ -867,6 +867,63 @@ FROM j, tot GROUP BY doc_id
 """
 
 
+# Data-mixing family (operators/mixing.py) — same md5-prefix hash unit on
+# both sides; budgets/weights are fixed constants mirrored in
+# data_queries.py.
+
+HASH_U = ("(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)"
+          " / 4294967296.0)")
+
+
+def mix_sample_sql(budget: int, weights: dict[str, float] | None = None,
+                   src: str = "documents") -> str:
+    if weights is None:
+        rates = f"""
+totals AS (SELECT lang, sum(n_chars) AS total_tokens FROM {src} GROUP BY lang),
+g AS (SELECT sum(total_tokens) AS grand FROM totals),
+rates AS (SELECT lang, round(least(1.0, {budget} / grand), 9) AS rate FROM totals, g)"""
+    else:
+        wsum = sum(weights.values())
+        vals = ", ".join(f"('{k}', {v / wsum})" for k, v in sorted(weights.items()))
+        rates = f"""
+totals AS (SELECT lang, sum(n_chars) AS total_tokens FROM {src} GROUP BY lang),
+w(lang, weight) AS (VALUES {vals}),
+rates AS (
+  SELECT t.lang, round(least(1.0, coalesce({budget} * w.weight / t.total_tokens, 0.0)), 9) AS rate
+  FROM totals t LEFT JOIN w ON w.lang = t.lang)"""
+    return f"""
+WITH {rates}
+SELECT d.lang, d.doc_id, d.text, d.source, d.n_chars
+FROM {src} d JOIN rates r ON r.lang = d.lang
+WHERE {HASH_U} < r.rate
+"""
+
+
+def split_train_val_sql(val_frac: float, src: str = "documents") -> str:
+    return f"""
+SELECT doc_id, lang,
+       CASE WHEN {HASH_U} < {val_frac} THEN 'val' ELSE 'train' END AS split
+FROM {src}
+"""
+
+
+def pack_sequences_sql(seq_len: int, src: str = "documents") -> str:
+    return f"""
+SELECT doc_id, lang, n_chars,
+       CAST(floor(coalesce(sum(n_chars) OVER (
+           PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / {seq_len})
+         AS BIGINT) AS bin_id
+FROM {src}
+"""
+
+
+MIX_BUDGET = 20_000
+MIX_WEIGHTED_BUDGET = 15_000
+MIX_WEIGHTS = {"en": 3.0, "de": 1.0, "fr": 1.0}
+SPLIT_VAL_FRAC = 0.05
+PACK_SEQ_LEN = 512
+
 # Deterministic, sf-independent splits for the two-input contract rows
 # (mirrored exactly in data_queries.py):
 INC_CORPUS = "(SELECT * FROM documents WHERE doc_id % 2 = 0)"
@@ -918,7 +975,12 @@ def oracles(sf: float = 0.01) -> dict[str, str]:
         "url_parts": q_url_parts(sf),
         "url_domain_stats": q_url_domain_stats(sf),
         "url_dedup_latest": q_url_dedup_latest(sf),
+        "dedup_incremental_candidates": cross_candidates_sql(INC_NEW, INC_CORPUS),
         "dedup_incremental_drops": incremental_drops_sql(INC_NEW, INC_CORPUS),
+        "corpus_mix_sample": mix_sample_sql(MIX_BUDGET),
+        "corpus_mix_weighted": mix_sample_sql(MIX_WEIGHTED_BUDGET, MIX_WEIGHTS),
+        "corpus_train_val_split": split_train_val_sql(SPLIT_VAL_FRAC),
+        "corpus_pack_sequences": pack_sequences_sql(PACK_SEQ_LEN),
         "text_decontam_hits": contamination_sql("documents", DECONTAM_EVAL, DECONTAM_N),
         "text_unigram_scores": unigram_sql("documents", UNIGRAM_REF, UNIGRAM_MIN_COUNT),
     }

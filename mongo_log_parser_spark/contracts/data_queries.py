@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import media, quality, textstats, urls
-from ..operators import decontam, dedup, similarity
+from ..operators import decontam, dedup, mixing, similarity
 from ..sources import datagen
 from .log_queries import sf_from_dir
 
@@ -340,6 +340,53 @@ def q_incremental_drops(spark, sf_dir):
     return dedup.incremental_neardup_drops(new, corpus)
 
 
+def q_incremental_candidates(spark, sf_dir):
+    """Cross-set LSH candidate pairs (new batch × existing corpus) — the
+    bucket-join stage of incremental ingest dedup, before the exact-Jaccard
+    verify. Same doc_id-parity split as dedup_incremental_drops."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    return dedup.cross_lsh_candidates(new, corpus)
+
+
+def q_mix_sample(spark, sf_dir):
+    """Proportional token-budget sampling: per-language rates from one tiny
+    broadcast rates table; selection is a deterministic md5-prefix hash unit
+    so reruns and budget changes are reproducible/nested (no rand())."""
+    docs = _t(spark, sf_dir, "documents")
+    from .data_oracle import MIX_BUDGET
+    return mixing.sample_to_token_budget(docs, MIX_BUDGET, tokens_col="n_chars")
+
+
+def q_mix_weighted(spark, sf_dir):
+    """Weighted data-mixing sampler (en:de:fr = 3:1:1) — the training-mix
+    recipe shape; unweighted languages get rate 0."""
+    docs = _t(spark, sf_dir, "documents")
+    from .data_oracle import MIX_WEIGHTED_BUDGET, MIX_WEIGHTS
+    return mixing.sample_to_token_budget(docs, MIX_WEIGHTED_BUDGET,
+                                         lang_weights=MIX_WEIGHTS,
+                                         tokens_col="n_chars")
+
+
+def q_train_val_split(spark, sf_dir):
+    """Deterministic train/val split — hash-unit threshold, stable under
+    corpus growth (a doc never migrates between splits)."""
+    docs = _t(spark, sf_dir, "documents")
+    from .data_oracle import SPLIT_VAL_FRAC
+    return mixing.split_train_val(docs.select("doc_id", "lang"),
+                                  val_frac=SPLIT_VAL_FRAC)
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Greedy sequence packing: per-language prefix-sum binning into
+    seq_len-token bins (window over sorted doc_id; per-partition variant for
+    100 TB documented in operators/mixing.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    from .data_oracle import PACK_SEQ_LEN
+    return mixing.pack_sequences(docs, PACK_SEQ_LEN, tokens_col="n_chars")
+
+
 def q_decontam_hits(spark, sf_dir):
     """Benchmark decontamination: training docs sharing an 8-gram with the
     eval set (eval n-gram set broadcast; plan-pinned). Eval slice = doc_id
@@ -427,7 +474,12 @@ DATA_QUERIES = {
     "url_parts": q_url_parts,
     "url_domain_stats": q_url_domain_stats,
     "url_dedup_latest": q_url_dedup_latest,
+    "dedup_incremental_candidates": q_incremental_candidates,
     "dedup_incremental_drops": q_incremental_drops,
+    "corpus_mix_sample": q_mix_sample,
+    "corpus_mix_weighted": q_mix_weighted,
+    "corpus_train_val_split": q_train_val_split,
+    "corpus_pack_sequences": q_pack_sequences,
     "text_decontam_hits": q_decontam_hits,
     "text_unigram_scores": q_unigram_scores,
 }

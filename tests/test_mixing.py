@@ -6,33 +6,13 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from mongo_log_parser_spark.contracts.data_oracle import (
+    mix_sample_sql as _sample_sql,
+    pack_sequences_sql,
+    split_train_val_sql,
+)
 from mongo_log_parser_spark.operators import mixing
 from tests.util import assert_df_equals_sql
-
-HASH_U = "(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) / 4294967296.0)"
-
-
-def _sample_sql(budget: int, weights: dict[str, float] | None = None) -> str:
-    if weights is None:
-        rates = f"""
-totals AS (SELECT lang, sum(n_chars) AS total_tokens FROM documents GROUP BY lang),
-g AS (SELECT sum(total_tokens) AS grand FROM totals),
-rates AS (SELECT lang, round(least(1.0, {budget} / grand), 9) AS rate FROM totals, g)"""
-    else:
-        wsum = sum(weights.values())
-        vals = ", ".join(f"('{k}', {v / wsum})" for k, v in sorted(weights.items()))
-        rates = f"""
-totals AS (SELECT lang, sum(n_chars) AS total_tokens FROM documents GROUP BY lang),
-w(lang, weight) AS (VALUES {vals}),
-rates AS (
-  SELECT t.lang, round(least(1.0, coalesce({budget} * w.weight / t.total_tokens, 0.0)), 9) AS rate
-  FROM totals t LEFT JOIN w ON w.lang = t.lang)"""
-    return f"""
-WITH {rates}
-SELECT d.lang, d.doc_id, d.text, d.source, d.n_chars
-FROM documents d JOIN rates r ON r.lang = d.lang
-WHERE {HASH_U} < r.rate
-"""
 
 
 @pytest.fixture(scope="module")
@@ -87,12 +67,7 @@ def test_rates_table(docs):
 
 def test_split_train_val_vs_oracle(docs, duck):
     got = mixing.split_train_val(docs.select("doc_id", "lang"), val_frac=0.05)
-    sql = f"""
-SELECT doc_id, lang,
-       CASE WHEN {HASH_U} < 0.05 THEN 'val' ELSE 'train' END AS split
-FROM documents
-"""
-    assert_df_equals_sql(got, duck, sql, "split")
+    assert_df_equals_sql(got, duck, split_train_val_sql(0.05), "split")
     counts = {r["split"]: r["n"] for r in got.groupBy("split")
               .agg(F.count(F.lit(1)).alias("n")).collect()}
     assert counts.get("val", 0) > 0 and counts["train"] > counts.get("val", 0)
@@ -110,15 +85,7 @@ def test_split_stable_under_growth(docs):
 
 def test_pack_sequences_vs_oracle(docs, duck):
     got = mixing.pack_sequences(docs, 512, tokens_col="n_chars")
-    sql = """
-SELECT doc_id, lang, n_chars,
-       CAST(floor(coalesce(sum(n_chars) OVER (
-           PARTITION BY lang ORDER BY doc_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512)
-         AS BIGINT) AS bin_id
-FROM documents
-"""
-    assert_df_equals_sql(got, duck, sql, "pack")
+    assert_df_equals_sql(got, duck, pack_sequences_sql(512), "pack")
 
 
 def test_pack_sequences_bins_are_contiguous_and_bounded(docs):
