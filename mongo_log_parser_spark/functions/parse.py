@@ -118,12 +118,14 @@ _DERIVED_FIELDS: list[tuple[str, str]] = [
 _TYPE = {"s": StringType(), "l": LongType(), "b": BooleanType()}
 
 
-def parsed_schema(input_schema: StructType) -> StructType:
+def parsed_schema(input_schema: StructType, extra_cols: tuple[str, ...] = ()) -> StructType:
     fields = [f for f in input_schema.fields if f.name in _PASSTHROUGH]
     fields += [StructField(n, StringType()) for n, _ in _ENV_FIELDS]
     fields += [StructField("cmd_keys", ArrayType(StringType()))]
     fields += [StructField(n, _TYPE[k]) for n, k, _ in _ATTR_SCALARS]
     fields += [StructField(n, _TYPE[k]) for n, k in _DERIVED_FIELDS]
+    by_name = {f.name: f for f in input_schema.fields}
+    fields += [by_name[c] for c in extra_cols]
     return StructType(fields)
 
 
@@ -328,12 +330,20 @@ def _parse_row(line: str, app: dict) -> None:  # noqa: C901 — one grammar, one
     app["rp_node_type"](_node_type(tags_src) if tags_src is not None else None)
 
 
-def parse_lines(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Vectorized parse: pages-shaped DataFrame → flat parsed DataFrame."""
+def parse_lines(df: DataFrame, text_col: str = "text",
+                extra_cols: tuple[str, ...] = (), skip_col: str | None = None) -> DataFrame:
+    """Vectorized parse: pages-shaped DataFrame → flat parsed DataFrame.
+
+    extra_cols: input columns passed through verbatim after the parse fields
+    (the routed-checkpoint flags). skip_col: optional boolean input column;
+    rows where it is true bypass the tokenizer and emit all-null parse fields
+    (identical to the unparseable-line path) — this is what lets
+    route.routed_parse() run kept+ignored+TTL routing in ONE scan instead of
+    re-reading the raw text column once per consumer."""
     import pandas as pd
 
-    passthrough = [c for c in df.columns if c in _PASSTHROUGH]
-    schema = parsed_schema(df.schema)
+    passthrough = [c for c in df.columns if c in _PASSTHROUGH] + list(extra_cols)
+    schema = parsed_schema(df.schema, extra_cols=tuple(extra_cols))
     all_out = _ALL_FIELD_NAMES
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -342,8 +352,18 @@ def parse_lines(df: DataFrame, text_col: str = "text") -> DataFrame:
         for pdf in batches:
             out: dict[str, list] = {n: [] for n in all_out}
             app = {n: out[n].append for n in all_out}
-            for line in pdf[text_col].tolist():
-                _parse_row(line if isinstance(line, str) else "", app)
+            appends = list(app.values())
+            texts = pdf[text_col].tolist()
+            if skip_col is not None:
+                for line, sk in zip(texts, pdf[skip_col].tolist()):
+                    if sk:
+                        for a in appends:
+                            a(None)
+                    else:
+                        _parse_row(line if isinstance(line, str) else "", app)
+            else:
+                for line in texts:
+                    _parse_row(line if isinstance(line, str) else "", app)
             # object-dtype numpy arrays: ~8x faster than pd.DataFrame(dict)
             # column inference for these mixed None/scalar columns
             cols = {}

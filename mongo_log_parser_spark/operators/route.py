@@ -44,20 +44,7 @@ def split_streams(pages: DataFrame,
     # TTL pre-pass (processTtlOperation, LogParser.java:938-970): parse,
     # require attr.namespace, namespace filter, take numDeleted/durationMillis
     ttl_raw = bounded.filter(prefilter.is_ttl_line(text)).drop("html")
-    ttl_parsed = parse_lines(ttl_raw)
-    shard_cols = [c for c in ("shard", "node") if c in pages.columns]
-    ttl_pre = (
-        ttl_parsed.filter(F.col("a_namespace").isNotNull())
-        .select(
-            "url", "warc_ts", "lang", "ts_str", "text", *shard_cols,
-            F.col("a_namespace").alias("ns"),
-            F.col("a_num_deleted").alias("num_deleted"),
-            F.col("a_duration_ms").alias("duration_ms"),
-        )
-        .withColumn("db", ns_db(F.col("ns")))
-        .withColumn("coll", ns_coll(F.col("ns")))
-        .filter(F.col("db").isNull() | (F.col("db") != "config"))
-    )
+    ttl_pre = ttl_pre_records(parse_lines(ttl_raw), pages.columns)
 
     return {
         "oversized": oversized,
@@ -71,6 +58,64 @@ def split_streams(pages: DataFrame,
         "conn_lifecycle": conn_lifecycle_records(kept),
         "ops": extract_ops(kept),
     }
+
+
+def ttl_pre_records(ttl_parsed: DataFrame, pages_columns: list[str]) -> DataFrame:
+    """TTL pre-pass projection over already-parsed TTL lines (the shared tail
+    of split_streams' ttl_pre and the routed-checkpoint derivation)."""
+    shard_cols = [c for c in ("shard", "node") if c in pages_columns]
+    return (
+        ttl_parsed.filter(F.col("a_namespace").isNotNull())
+        .select(
+            "url", "warc_ts", "lang", "ts_str", "text", *shard_cols,
+            F.col("a_namespace").alias("ns"),
+            F.col("a_num_deleted").alias("num_deleted"),
+            F.col("a_duration_ms").alias("duration_ms"),
+        )
+        .withColumn("db", ns_db(F.col("ns")))
+        .withColumn("coll", ns_coll(F.col("ns")))
+        .filter(F.col("db").isNull() | (F.col("db") != "config"))
+    )
+
+
+ROUTE_FLAG_COLS = ("is_ignored", "is_ttl", "category")
+
+
+def routed_parse(pages: DataFrame,
+                 ignore_patterns: list[str] | None = None) -> DataFrame:
+    """ONE-scan routed parse (guide §2.4: remove shuffles/passes outright —
+    here the removed cost is three extra full scans of the raw text column).
+
+    split_streams() hands each consumer a lazy view over the raw scan, so a
+    materializing pipeline paid four decompressions of `text` per wave: the
+    kept parse, the TTL pre-pass parse, and the ignored/ignored-sample
+    predicate scans. This operator computes the routing predicates ONCE (JVM,
+    whole-stage codegen — identical expressions to split_streams), then runs
+    the Arrow parse over every bounded line with parse skipped for
+    ignored-non-TTL rows (they emit null parse fields, exactly the
+    unparseable-line path). Output = parsed schema + ROUTE_FLAG_COLS, from
+    which pipeline.build derives kept / ignored / ttl_pre with column-pruned
+    scans of one checkpoint instead of re-reading the raw table.
+
+    Row/field equivalence with split_streams (oracle-checked downstream):
+    - kept:   rows !is_ignored, parse fields from the same _parse_row
+    - ignored: rows is_ignored, same first-match category expression
+    - ttl:    rows is_ttl are always parsed (TTL lines are also counted as
+              ignored — LogParser.java:641-649 — so the skip predicate is
+              `ignore AND NOT ttl`)
+    """
+    text = F.col("text")
+    ignore = prefilter.should_ignore(text, ignore_patterns)
+    is_ttl = prefilter.is_ttl_line(text)
+    flagged = (
+        pages.filter(~prefilter.is_oversized(text))
+        .drop("html")
+        .withColumn("is_ignored", ignore)
+        .withColumn("is_ttl", is_ttl)
+        .withColumn("category", F.when(ignore, prefilter.ignored_category(text)))
+        .withColumn("skip_parse", ignore & ~is_ttl)
+    )
+    return parse_lines(flagged, extra_cols=ROUTE_FLAG_COLS, skip_col="skip_parse")
 
 
 def ignored_sample(ignored: DataFrame, rate: int = 100) -> DataFrame:

@@ -4,12 +4,14 @@
        → extract (E3-E20) → aggregates (A1-A12) + joins (J1-J3) → sinks
 
 Stage materialization strategy (measured at sf0.1, local[32]):
-  parquet   write `kept` (parsed) and `ops` (dispatched) to parquet and read
-            them back. One Arrow parse total; every downstream consumer reads
-            flat columnar data with pruning/pushdown. 10x faster than Spark's
-            in-memory cache here (InMemoryRelation encode of wide rows was the
-            bottleneck), and it is exactly the stage-checkpoint pattern a
-            100 TB pipeline uses between parse and aggregate waves.
+  parquet   write `routed` (parsed + routing flags, ONE raw scan for
+            kept/ignored/TTL — route.routed_parse) and `ops` (dispatched) to
+            parquet and read them back. One Arrow parse total; every
+            downstream consumer reads flat columnar data with
+            pruning/pushdown. 10x faster than Spark's in-memory cache here
+            (InMemoryRelation encode of wide rows was the bottleneck), and it
+            is exactly the stage-checkpoint pattern a 100 TB pipeline uses
+            between parse and aggregate waves.
   bucketed  like parquet, but the ops checkpoint is written as a parquet
             table bucketed+sorted by query_hash (sinks/bucketed.py): one
             repartition at write time, then the whole A4/A5/A5b query-hash
@@ -89,15 +91,37 @@ def build(
         workdir = workdir or os.path.join(
             datagen.DATA_ROOT, "tmp", f"stage-{uuid.uuid4().hex[:8]}"
         )
-        # Checkpoint `kept` (the one Arrow parse), then derive `ops` FROM the
-        # checkpoint before writing it — otherwise the ops write re-runs the
-        # full mapInPandas parse over every kept line (2x parse cost; this was
-        # the round-1 scaling-gate failure).
-        kept_path = os.path.join(workdir, "kept")
-        kept_schema = streams["kept"].schema
-        streams["kept"].write.mode("overwrite").parquet(kept_path)
+        # ONE routed checkpoint (route.routed_parse): kept + ignored + TTL in
+        # a single scan/parse/write. Before round 6 this phase wrote only
+        # `kept` and left ignored/ttl_pre as lazy views over the RAW table, so
+        # one materialization wave decompressed the raw text column four
+        # times (kept parse, ttl parse, ignored, ignored_sample — measured
+        # 28.8 + 4.4 + 5.5 + 5.5 s of the 53 s sf1.0 headline). Now the three
+        # sink families scan the column-pruned checkpoint instead; the write
+        # grows only by the ignored rows' text bytes (~18% of rows, null
+        # parse fields — free under parquet RLE).
+        # Checkpoint first, then derive `ops` FROM the checkpoint before
+        # writing it — otherwise the ops write re-runs the full mapInPandas
+        # parse over every kept line (2x parse cost; this was the round-1
+        # scaling-gate failure).
+        routed = route.routed_parse(pages, ignore_patterns=ignore_patterns)
+        routed_path = os.path.join(workdir, "routed")
+        routed_schema = routed.schema
+        routed.write.mode("overwrite").parquet(routed_path)
         # explicit schema: skips the footer-inference job on read-back
-        streams["kept"] = spark.read.schema(kept_schema).parquet(kept_path)
+        ckpt = spark.read.schema(routed_schema).parquet(routed_path)
+        streams["kept"] = ckpt.filter(~F.col("is_ignored")).drop(*route.ROUTE_FLAG_COLS)
+        streams["ignored"] = ckpt.filter(F.col("is_ignored")).select(
+            *[c for c in ("url", "warc_ts", "lang", "text", "shard", "node")
+              if c in ckpt.columns],
+            # ignored_category() always resolves (its CASE has an otherwise),
+            # so this coalesce never fires — it only restores the non-null
+            # schema the lazy CASE expression carries, which the parquet
+            # round-trip erased.
+            F.coalesce(F.col("category"), F.lit("OTHER")).alias("category"),
+        )
+        streams["ttl_pre"] = route.ttl_pre_records(
+            ckpt.filter(F.col("is_ttl")), pages.columns)
         if ops_checkpoint:
             ops_path = os.path.join(workdir, "ops")
             ops_df = route.extract_ops(streams["kept"])
