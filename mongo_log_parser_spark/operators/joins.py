@@ -79,12 +79,16 @@ def driver_stats(meta: DataFrame, auth: DataFrame, conn_lifecycle: DataFrame) ->
         F.count(F.lit(1)).alias("sampled_lifetimes"),
     )
     # null-safe equi-join: username (and other key parts) may legitimately be
-    # null for never-authenticated connections
+    # null for never-authenticated connections. lt_agg is an aggregate over
+    # the sampled lifetimes keyed by the (small) driver-identity key set, so
+    # broadcast it: SortMergeJoin → BroadcastHashJoin, removing one Exchange+
+    # Sort pair on each side of the final join (plan-verified, plans/r06/
+    # driver_stats_{before,after}.txt).
     cond = None
     for k in keys:
         c = base[k].eqNullSafe(lt_agg[k])
         cond = c if cond is None else cond & c
-    joined = base.join(lt_agg, cond, "left")
+    joined = base.join(F.broadcast(lt_agg), cond, "left")
     out = joined.select(
         *[base[k] for k in keys],
         "connection_count", "unique_hosts", "sample_metadata_line", "sample_auth_line",
