@@ -53,9 +53,20 @@ def driver_stats(meta: DataFrame, auth: DataFrame, conn_lifecycle: DataFrame) ->
     """A11 — driver/version/os/platform/compressors/username rollup.
 
     One scan + two broadcast joins replaces the reference's three file passes
-    (SURVEY.md §3.2)."""
+    (SURVEY.md §3.2).
+
+    `enriched` feeds BOTH the identity-key rollup (base) and the per-conn key
+    map (conn_key); as a lazy plan the whole meta-scan ⋈ auth subtree would
+    be INLINED twice and executed twice per materialization (6 source scans
+    total — plans/r06/driver_stats_before.txt). The lazy localCheckpoint
+    materializes the tiny enriched subset (the client-metadata rows, ~2-4% of
+    the stream) once on first use and both consumers reuse it — on the lazy
+    contract path this also halves the number of full parse passes this sink
+    triggers. eager=False: pipeline.build constructs sinks without running
+    them; the checkpoint happens inside the consuming action."""
     m = meta.filter(driver_allowed(F.col("driver")))
-    enriched = m.join(F.broadcast(auth_by_conn(auth)), "conn_id", "left")
+    enriched = m.join(F.broadcast(auth_by_conn(auth)), "conn_id", "left") \
+        .localCheckpoint(eager=False)
     keys = ["driver", "version", "os_type", "platform", "compressors", "username"]
 
     base = enriched.groupBy(*keys).agg(
