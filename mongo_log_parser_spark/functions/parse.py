@@ -367,17 +367,20 @@ def parse_lines(df: DataFrame, text_col: str = "text",
             out: dict[str, list] = {n: [] for n in all_out}
             app = {n: out[n].append for n in all_out}
             appends = list(app.values())
-            texts = batch.column(text_col).to_pylist()
+            # zero-copy cast to binary: orjson takes the utf-8 bytes directly,
+            # skipping the str round-trip's re-encode (measured −3%/row; the
+            # parquet column is a string type, so the bytes are valid utf-8)
+            texts = batch.column(text_col).cast("binary").to_pylist()
             if skip_col is not None:
                 for line, sk in zip(texts, batch.column(skip_col).to_pylist()):
                     if sk:
                         for a in appends:
                             a(None)
                     else:
-                        _parse_row(line if isinstance(line, str) else "", app)
+                        _parse_row(line if isinstance(line, bytes) else b"", app)
             else:
                 for line in texts:
-                    _parse_row(line if isinstance(line, str) else "", app)
+                    _parse_row(line if isinstance(line, bytes) else b"", app)
             cols = [
                 pa.array(out[n], type=types[n]) if n in generated else batch.column(n)
                 for n in out_names

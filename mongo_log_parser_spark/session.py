@@ -78,6 +78,14 @@ def build_session(
         # full keys imply equal subset hashes, so this is purely a planner
         # capability unlock, not a semantics change.
         .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+        # Checkpoint/sink parquet codec (guide §6/§9): zstd. Measured on the
+        # routed checkpoint (3-round interleaved A/B, sf0.1): write and read
+        # times equal to snappy/lz4/none within noise, 42% smaller files than
+        # snappy (60 vs 104 MB) — pure win locally, and the production-right
+        # choice where checkpoint bytes cross a network. Env override for
+        # experiments.
+        .config("spark.sql.parquet.compression.codec",
+                os.environ.get("SPARK_GRAFT_PARQUET_CODEC", "zstd"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
