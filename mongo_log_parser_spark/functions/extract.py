@@ -122,64 +122,56 @@ def extract_ops(parsed: DataFrame) -> DataFrame:
 
     common = ~is_index  # INDEX branch skips setCommonAttributes (LogParserTask.java:157-175)
     rp_gate = is_command | write_ok  # extractReadPreferenceAndFilter call sites
-    out = (
-        parsed.withColumn("op", op)
-        .withColumn("op_stat", op_stat)
-        .withColumn("branch", F.when(is_index, "index").when(write_ok, "write").otherwise("command"))
-        .withColumn("db", db)
-        .withColumn("coll", coll)
-        .withColumn("duration_ms", F.col("a_duration_ms"))
-        .withColumn("keys_examined", F.when(common, gated_keys))
-        .withColumn("docs_examined", F.when(common, gated_docs))
-        .withColumn("nreturned", nret)
-        .withColumn("reslen", F.when(common, F.col("a_reslen")))
-        .withColumn("bytes_read", F.when(common, F.col("a_bytes_read")))
-        .withColumn("bytes_written", F.when(common, F.col("a_bytes_written")))
-        .withColumn("write_conflicts", F.when(common, F.col("a_write_conflicts")))
-        .withColumn("n_shards", F.when(common, F.col("a_nshards")))
-        .withColumn("query_hash", F.when(common, F.col("a_query_hash")))
-        .withColumn("plan_cache_key", F.when(common, F.col("a_plan_cache_key")))
-        .withColumn("plan_summary", F.when(common, F.col("a_plan_summary")))
-        .withColumn("planning_us", F.when(common, F.col("a_planning_us")))
-        .withColumn("replanned", F.when(common, F.col("a_replanned")))
-        .withColumn("replan_reason", F.when(common, F.col("a_replan_reason")))
-        .withColumn("from_multi_planner", F.when(common, F.col("a_from_multi_planner")))
-        .withColumn("app_name", F.when(common, F.col("a_app_name")))
-        .withColumn("remote", F.when(common, F.col("a_remote")))
-        .withColumn("read_pref", F.when(rp_gate, F.col("rp_mode")))
-        .withColumn("read_pref_tags", F.when(rp_gate, F.col("rp_tags")))
-        .withColumn("node_type", F.when(rp_gate, F.col("rp_node_type")))
-        # sanitize source precedence: q > filter > first $match > originating
-        # filter (sequential assignment, LogParserTask.java:468-558)
-        .withColumn(
-            "raw_filter",
-            F.when(rp_gate, F.coalesce("cmd_q_raw", "cmd_filter_raw", "match_raw", "orig_filter_raw")),
-        )
-        .withColumn("is_error", F.coalesce(is_error_expr(), F.lit(False)))
-        .withColumn(
-            "is_change_stream",
-            F.coalesce((op == "getMore") & F.col("orig_has_changestream"), F.lit(False)),
-        )
-        # namespace filter: null-db namespaces pass (Namespace regex non-match
-        # keeps nulls), config db always excluded (LogParserTask.java:361-408)
-        .withColumn("ns_pass", ns.isNotNull() & (db.isNull() | (db != "config")))
-    )
     # keep every dispatched row; main-op consumers filter on ns_pass, while
     # op-type stats count WRITE/INDEX dispatches regardless (the reference
     # increments those stats before its namespace check — see aggregates.op_stats).
     # Project down to the SlowQuery contract — the parsed source columns would
     # otherwise double the width of the ops stage checkpoint.
+    # ONE select, not a withColumn chain: every chained withColumn round-trips
+    # py4j and re-analyzes the whole upstream plan, which at ~25 links over
+    # the parse tree cost ~1 s of driver-side serial time per pipeline build
+    # (measured; a pure Amdahl floor at every parallelism width).
     passthrough = [c for c in ("url", "warc_ts", "lang", "shard", "node") if c in parsed.columns]
-    return out.filter(F.col("op").isNotNull()).select(
+    out = parsed.select(
         *passthrough, "text", "ts_str", "ctx", "comp",
-        "branch", "op", "op_stat", "db", "coll", "ns_pass",
-        "duration_ms", "keys_examined", "docs_examined", "nreturned", "reslen",
-        "bytes_read", "bytes_written", "write_conflicts", "n_shards",
-        "query_hash", "plan_cache_key", "plan_summary", "planning_us",
-        "replanned", "replan_reason", "from_multi_planner",
-        "app_name", "remote", "read_pref", "read_pref_tags", "node_type",
-        "raw_filter", "is_error", "is_change_stream",
+        F.when(is_index, "index").when(write_ok, "write").otherwise("command").alias("branch"),
+        op.alias("op"),
+        op_stat.alias("op_stat"),
+        db.alias("db"),
+        coll.alias("coll"),
+        # namespace filter: null-db namespaces pass (Namespace regex non-match
+        # keeps nulls), config db always excluded (LogParserTask.java:361-408)
+        (ns.isNotNull() & (db.isNull() | (db != "config"))).alias("ns_pass"),
+        F.col("a_duration_ms").alias("duration_ms"),
+        F.when(common, gated_keys).alias("keys_examined"),
+        F.when(common, gated_docs).alias("docs_examined"),
+        nret.alias("nreturned"),
+        F.when(common, F.col("a_reslen")).alias("reslen"),
+        F.when(common, F.col("a_bytes_read")).alias("bytes_read"),
+        F.when(common, F.col("a_bytes_written")).alias("bytes_written"),
+        F.when(common, F.col("a_write_conflicts")).alias("write_conflicts"),
+        F.when(common, F.col("a_nshards")).alias("n_shards"),
+        F.when(common, F.col("a_query_hash")).alias("query_hash"),
+        F.when(common, F.col("a_plan_cache_key")).alias("plan_cache_key"),
+        F.when(common, F.col("a_plan_summary")).alias("plan_summary"),
+        F.when(common, F.col("a_planning_us")).alias("planning_us"),
+        F.when(common, F.col("a_replanned")).alias("replanned"),
+        F.when(common, F.col("a_replan_reason")).alias("replan_reason"),
+        F.when(common, F.col("a_from_multi_planner")).alias("from_multi_planner"),
+        F.when(common, F.col("a_app_name")).alias("app_name"),
+        F.when(common, F.col("a_remote")).alias("remote"),
+        F.when(rp_gate, F.col("rp_mode")).alias("read_pref"),
+        F.when(rp_gate, F.col("rp_tags")).alias("read_pref_tags"),
+        F.when(rp_gate, F.col("rp_node_type")).alias("node_type"),
+        # sanitize source precedence: q > filter > first $match > originating
+        # filter (sequential assignment, LogParserTask.java:468-558)
+        F.when(rp_gate, F.coalesce("cmd_q_raw", "cmd_filter_raw", "match_raw",
+                                   "orig_filter_raw")).alias("raw_filter"),
+        F.coalesce(is_error_expr(), F.lit(False)).alias("is_error"),
+        F.coalesce((op == "getMore") & F.col("orig_has_changestream"),
+                   F.lit(False)).alias("is_change_stream"),
     )
+    return out.filter(F.col("op").isNotNull())
 
 
 def ops(parsed: DataFrame) -> DataFrame:

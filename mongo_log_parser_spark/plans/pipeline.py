@@ -85,9 +85,16 @@ def build(
     ignore_patterns: list[str] | None = None,
 ) -> PipelineResult:
     spark = pages.sparkSession
-    streams = route.split_streams(pages, ignore_patterns=ignore_patterns)
     tables: list[str] = []
     if cache and materialize in ("parquet", "bucketed"):
+        # Don't construct the full lazy split_streams DAG here: every entry
+        # except `oversized` is immediately replaced by its checkpoint-derived
+        # form below, and building the lazy trees (two parse plans, the
+        # extract cascade, five side channels) costs seconds of driver-side
+        # analysis per run — pure serial floor at every parallelism width.
+        from ..functions import prefilter
+
+        streams = {"oversized": pages.filter(prefilter.is_oversized(F.col("text")))}
         workdir = workdir or os.path.join(
             datagen.DATA_ROOT, "tmp", f"stage-{uuid.uuid4().hex[:8]}"
         )
@@ -152,8 +159,11 @@ def build(
             }
         )
     elif cache and materialize == "memory":
+        streams = route.split_streams(pages, ignore_patterns=ignore_patterns)
         streams["kept"] = streams["kept"].persist(StorageLevel.MEMORY_AND_DISK)
         streams["ops"] = streams["ops"].persist(StorageLevel.MEMORY_AND_DISK)
+    else:
+        streams = route.split_streams(pages, ignore_patterns=ignore_patterns)
 
     sinks = {
         "main_ops": agg.main_ops(streams["ops"]),
