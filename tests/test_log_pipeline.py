@@ -160,3 +160,36 @@ def test_ops_checkpoint_lazy_equivalence(spark):
     finally:
         a.unpersist()
         b.unpersist()
+
+
+def test_meta_auth_shared_scan_equivalence(spark):
+    """client_metadata and auth derive from ONE shared localCheckpointed
+    subset (pipeline.build): rows must equal the direct derivations off the
+    kept checkpoint, and both streams must read the SAME checkpointed RDD —
+    i.e. neither triggers its own parquet scan of the routed text column."""
+    import re
+
+    from mongo_log_parser_spark.operators import route
+    from mongo_log_parser_spark.plans import pipeline
+
+    pages = pipeline.read_pages(spark, sf=0.001)
+    res = pipeline.build(pages)
+    try:
+        for name, fn in (("client_metadata", route.client_metadata_records),
+                         ("auth", route.auth_records)):
+            shared = res.streams[name]
+            direct = fn(res.streams["kept"])
+            assert shared.exceptAll(direct).count() == 0, name
+            assert direct.exceptAll(shared).count() == 0, name
+        rdd_ids = []
+        for name in ("client_metadata", "auth"):
+            df = res.streams[name]
+            plan = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted")
+            assert "Scan parquet" not in plan, name  # reads the checkpoint RDD
+            m = re.search(r"MapPartitionsRDD\[(\d+)\]", plan)
+            assert m is not None, plan[:500]
+            rdd_ids.append(m.group(1))
+        assert rdd_ids[0] == rdd_ids[1]  # ONE shared subset, not two scans
+    finally:
+        res.unpersist()
