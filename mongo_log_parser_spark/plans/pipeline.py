@@ -148,33 +148,36 @@ def build(
             # the kept checkpoint scan — trades one serial write job for a
             # little repeated codegen work inside already-parallel scans
             streams["ops"] = route.extract_ops(streams["kept"])
-        # client_metadata and auth share ONE text-reading scan: each filters
-        # to a tiny disjoint subset (~2-4% of rows together), but as separate
-        # lazy plans each would decompress the checkpoint's full `text` column
-        # — the widest column it stores — independently per materialization
-        # wave (driver_stats consumes both: its enriched subtree scans meta on
-        # the probe side AND auth on the broadcast side). The union-predicate
-        # subset is localCheckpointed lazily ONCE and both side channels
-        # re-apply their exact original filters over it, so rows and schema
-        # are identical to deriving straight from kept (each record filter
-        # implies the union predicate).
+        # client_metadata, auth and conn_lifecycle share ONE scan: each
+        # filters to a tiny subset (a few % of rows together), but as
+        # separate lazy plans driver_stats' materialization would scan the
+        # checkpoint FOUR times per wave — client-metadata (probe side) and
+        # auth (broadcast side) each decompressing the full `text` column,
+        # the widest one stored, plus the lifecycle union's start/end pair
+        # re-reading the url/ts_str/ctx string columns twice. The
+        # union-predicate subset is localCheckpointed lazily ONCE and every
+        # side channel re-applies its exact original filter over it, so rows
+        # and schema are identical to deriving straight from kept (each
+        # record filter implies the union predicate).
         is_meta = (F.col("comp") == "NETWORK") & (F.col("msg") == "client metadata")
         is_auth = (F.col("comp") == "ACCESS") & (F.col("msg") == "Successfully authenticated")
-        meta_auth = ckpt.filter(
-            ~F.col("is_ignored") & (is_meta | is_auth)
+        is_lifecycle = F.col("msg").isin("Connection accepted", "Connection ended")
+        conn_side = ckpt.filter(
+            ~F.col("is_ignored") & (is_meta | is_auth | is_lifecycle)
         ).select(
             "url", "ts_str", "ctx", "comp", "msg", "has_attr", "a_remote",
             "drv_name", "drv_version", "os_type", "os_name", "platform",
-            "compressors", "a_user", "a_db", "a_mechanism", "text",
+            "compressors", "a_user", "a_db", "a_mechanism", "a_connection_id",
+            "text",
         ).localCheckpoint(eager=False)
         # re-derive the side channels off the checkpointed parse
         streams.update(
             {
                 "errors": route.error_records(streams["kept"]),
                 "transactions": route.transaction_records(streams["kept"]),
-                "client_metadata": route.client_metadata_records(meta_auth),
-                "auth": route.auth_records(meta_auth),
-                "conn_lifecycle": route.conn_lifecycle_records(streams["kept"]),
+                "client_metadata": route.client_metadata_records(conn_side),
+                "auth": route.auth_records(conn_side),
+                "conn_lifecycle": route.conn_lifecycle_records(conn_side),
             }
         )
     elif cache and materialize == "memory":

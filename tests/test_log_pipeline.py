@@ -163,10 +163,12 @@ def test_ops_checkpoint_lazy_equivalence(spark):
 
 
 def test_meta_auth_shared_scan_equivalence(spark):
-    """client_metadata and auth derive from ONE shared localCheckpointed
-    subset (pipeline.build): rows must equal the direct derivations off the
-    kept checkpoint, and both streams must read the SAME checkpointed RDD —
-    i.e. neither triggers its own parquet scan of the routed text column."""
+    """client_metadata, auth and conn_lifecycle derive from ONE shared
+    localCheckpointed subset (pipeline.build): rows must equal the direct
+    derivations off the kept checkpoint, and every stream must read the SAME
+    checkpointed RDD — i.e. none triggers its own parquet scan of the routed
+    checkpoint (the old layout scanned it four times: meta + auth through the
+    wide text column, plus the lifecycle start/end pair)."""
     import re
 
     from mongo_log_parser_spark.operators import route
@@ -176,20 +178,21 @@ def test_meta_auth_shared_scan_equivalence(spark):
     res = pipeline.build(pages)
     try:
         for name, fn in (("client_metadata", route.client_metadata_records),
-                         ("auth", route.auth_records)):
+                         ("auth", route.auth_records),
+                         ("conn_lifecycle", route.conn_lifecycle_records)):
             shared = res.streams[name]
             direct = fn(res.streams["kept"])
             assert shared.exceptAll(direct).count() == 0, name
             assert direct.exceptAll(shared).count() == 0, name
-        rdd_ids = []
-        for name in ("client_metadata", "auth"):
+        rdd_ids = set()
+        for name in ("client_metadata", "auth", "conn_lifecycle"):
             df = res.streams[name]
             plan = df._sc._jvm.PythonSQLUtils.explainString(
                 df._jdf.queryExecution(), "formatted")
             assert "Scan parquet" not in plan, name  # reads the checkpoint RDD
-            m = re.search(r"MapPartitionsRDD\[(\d+)\]", plan)
-            assert m is not None, plan[:500]
-            rdd_ids.append(m.group(1))
-        assert rdd_ids[0] == rdd_ids[1]  # ONE shared subset, not two scans
+            ids = set(re.findall(r"MapPartitionsRDD\[(\d+)\]", plan))
+            assert len(ids) == 1, (name, plan[:500])  # even the union's two legs
+            rdd_ids |= ids
+        assert len(rdd_ids) == 1  # ONE shared subset across all three streams
     finally:
         res.unpersist()
